@@ -1,0 +1,82 @@
+"""Model/train configuration.
+
+Mirrors the reference's config keys so its JSON/YAML configs translate 1:1
+(reference: configs/train/stereo_v1.json and scripts/train.py:45-64, where the
+`model` dict is wrapped in a SimpleNamespace; and scripts/run_demo.py:111-117,
+where cfg.yaml from the checkpoint dir is overlaid with CLI args).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Hyper-parameters of the stereo model.
+
+    Field names match the reference's ``args`` attributes read in
+    core/foundation_stereo.py:128-180 so that reference configs load directly.
+    """
+
+    max_disp: int = 192
+    corr_radius: int = 4
+    corr_levels: int = 4
+    n_gru_layers: int = 3
+    n_downsample: int = 2
+    hidden_dims: tuple[int, ...] = (128, 128, 128)
+    vit_size: str = "vitl"
+    mixed_precision: bool = True
+    low_memory: bool = False
+    test_mode: bool = False
+
+    # TPU-build extras (not present in the reference).
+    cv_group: int = 8             # group-wise correlation groups (hard-coded 8 upstream)
+    volume_dim: int = 28          # filtered cost-volume channels (hard-coded upstream)
+    train_iters: int = 22         # GRU iterations during training
+    valid_iters: int = 32         # GRU iterations during inference
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        if "hidden_dims" in kwargs:
+            kwargs["hidden_dims"] = tuple(kwargs["hidden_dims"])
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, path: str) -> "ModelConfig":
+        with open(path) as f:
+            cfg = json.load(f)
+        model = cfg.get("model", cfg)
+        return cls.from_dict(model)
+
+    def replace(self, **kwargs) -> "ModelConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    @property
+    def vit_features(self) -> int:
+        """DPT decoder channel width per ViT size (core/extractor.py:287-291)."""
+        return {"vits": 64, "vitb": 128, "vitl": 256}[self.vit_size]
+
+    @property
+    def vit_feat_dim(self) -> int:
+        """Channels of the frozen monocular feature injected at 1/4 resolution."""
+        return self.vit_features // 2
+
+
+# The per-size ViT/DPT constants mirrored from core/extractor.py:286-306 and
+# dinov2/dinov2/models/vision_transformer.py:341-380.
+VIT_CONFIGS = {
+    "vits": dict(embed_dim=384, depth=12, num_heads=6,
+                 intermediate_layers=(2, 5, 8, 11),
+                 dpt_features=64, dpt_out_channels=(48, 96, 192, 384)),
+    "vitb": dict(embed_dim=768, depth=12, num_heads=12,
+                 intermediate_layers=(2, 5, 8, 11),
+                 dpt_features=128, dpt_out_channels=(96, 192, 384, 768)),
+    "vitl": dict(embed_dim=1024, depth=24, num_heads=16,
+                 intermediate_layers=(4, 11, 17, 23),
+                 dpt_features=256, dpt_out_channels=(256, 512, 1024, 1024)),
+}

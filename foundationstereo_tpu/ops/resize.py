@@ -1,0 +1,125 @@
+"""Torch-semantics image resizing for JAX, built on interpolation matrices.
+
+The reference relies on ``F.interpolate`` with a mix of ``align_corners``
+settings (bilinear/bicubic/nearest/trilinear; e.g. core/extractor.py:352,357,
+core/foundation_stereo.py:119,259-271, core/submodule.py:464). ``jax.image.resize``
+uses half-pixel sampling with antialiasing on downscale, which does NOT match
+torch's ``antialias=False`` default — so we build explicit (out, in)
+interpolation matrices per axis (exact torch semantics, differentiable, and
+MXU-friendly: resizing becomes two small matmuls that XLA fuses).
+
+Matrices are computed in numpy at trace time (shapes are static under jit) and
+become constants in the compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix_np(in_size: int, out_size: int, method: str, align_corners: bool) -> np.ndarray:
+    """Dense (out_size, in_size) row-stochastic interpolation matrix."""
+    if method == "nearest":
+        scale = in_size / out_size
+        idx = np.minimum((np.arange(out_size) * scale).astype(np.int64), in_size - 1)
+        m = np.zeros((out_size, in_size), np.float64)
+        m[np.arange(out_size), idx] = 1.0
+        return m.astype(np.float32)
+
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros(out_size, np.float64)
+        else:
+            src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+
+    m = np.zeros((out_size, in_size), np.float64)
+    if method == "linear":
+        x0 = np.floor(src).astype(np.int64)
+        w1 = src - x0
+        for tap, w in ((x0, 1.0 - w1), (x0 + 1, w1)):
+            np.add.at(m, (np.arange(out_size), np.clip(tap, 0, in_size - 1)), w)
+    elif method == "cubic":
+        # Keys cubic convolution kernel with A=-0.75 (torch's choice).
+        a = -0.75
+
+        def k(t):
+            t = np.abs(t)
+            return np.where(
+                t <= 1.0,
+                ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0,
+                np.where(t < 2.0, (((t - 5.0) * t + 8.0) * t - 4.0) * a, 0.0),
+            )
+
+        x0 = np.floor(src).astype(np.int64)
+        for off in (-1, 0, 1, 2):
+            tap = x0 + off
+            w = k(src - tap)
+            np.add.at(m, (np.arange(out_size), np.clip(tap, 0, in_size - 1)), w)
+    else:
+        raise ValueError(f"unknown method {method}")
+    return m.astype(np.float32)
+
+
+def resize1d_matrix(in_size: int, out_size: int, method: str = "linear",
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Public access to the (out, in) interpolation matrix as a jnp constant."""
+    return jnp.asarray(_interp_matrix_np(in_size, out_size, method, align_corners))
+
+
+_METHOD_ALIASES = {
+    "bilinear": "linear",
+    "trilinear": "linear",
+    "bicubic": "cubic",
+    "linear": "linear",
+    "cubic": "cubic",
+    "nearest": "nearest",
+}
+
+
+def resize2d(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear",
+             align_corners: bool = False) -> jnp.ndarray:
+    """Resize the (H, W) axes of a channel-last array ``(..., H, W, C)``.
+
+    Exactly matches ``torch.nn.functional.interpolate(x, size=out_hw,
+    mode=method, align_corners=align_corners, antialias=False)`` (NCHW there,
+    NHWC here).
+    """
+    method = _METHOD_ALIASES[method]
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = out_hw
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    if h_in != h_out:
+        mh = resize1d_matrix(h_in, h_out, method, align_corners)
+        xf = jnp.einsum("oh,...hwc->...owc", mh, xf)
+    if w_in != w_out:
+        mw = resize1d_matrix(w_in, w_out, method, align_corners)
+        xf = jnp.einsum("ow,...hwc->...hoc", mw, xf)
+    return xf.astype(dt)
+
+
+def resize_dhw(x: jnp.ndarray, out_dhw: tuple[int, int, int], method: str = "trilinear",
+               align_corners: bool = False) -> jnp.ndarray:
+    """Resize the (D, H, W) axes of ``(..., D, H, W, C)`` (torch trilinear)."""
+    method = _METHOD_ALIASES[method]
+    d_in, h_in, w_in = x.shape[-4], x.shape[-3], x.shape[-2]
+    d_out, h_out, w_out = out_dhw
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    if d_in != d_out:
+        md = resize1d_matrix(d_in, d_out, method, align_corners)
+        xf = jnp.einsum("od,...dhwc->...ohwc", md, xf)
+    if h_in != h_out:
+        mh = resize1d_matrix(h_in, h_out, method, align_corners)
+        xf = jnp.einsum("oh,...dhwc->...dowc", mh, xf)
+    if w_in != w_out:
+        mw = resize1d_matrix(w_in, w_out, method, align_corners)
+        xf = jnp.einsum("ow,...dhwc->...dhoc", mw, xf)
+    return xf.astype(dt)

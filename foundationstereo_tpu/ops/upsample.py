@@ -1,0 +1,63 @@
+"""Disparity regression, convex upsampling, and pooling primitives.
+
+Channel-last equivalents of the reference's ``disparity_regression``
+(core/submodule.py:431-435), ``context_upsample`` (core/submodule.py:456-468)
+and ``pool2x`` (core/update.py:72-73).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def disparity_regression(prob: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+    """Soft-argmin: (B, D, H, W) probabilities -> (B, H, W) expected disparity."""
+    d = jnp.arange(maxdisp, dtype=prob.dtype).reshape(1, maxdisp, 1, 1)
+    return jnp.sum(prob * d, axis=1)
+
+
+def unfold3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 zero-padded patch extraction: (B, H, W) -> (B, H, W, 9).
+
+    Tap order is row-major over (dy, dx) in {-1,0,1}^2, matching
+    ``F.unfold(x, 3, padding=1)`` channel ordering for a 1-channel input.
+    """
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+    h, w = x.shape[1], x.shape[2]
+    taps = [xp[:, dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+    return jnp.stack(taps, axis=-1)
+
+
+def nearest_up4(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 4x nearest upsampling of (B, H, W, C) -> (B, 4H, 4W, C)."""
+    x = jnp.repeat(x, 4, axis=1)
+    return jnp.repeat(x, 4, axis=2)
+
+
+def context_upsample(disp_low: jnp.ndarray, up_weights: jnp.ndarray) -> jnp.ndarray:
+    """Convex 1/4 -> full-res upsampling.
+
+    Args:
+      disp_low: (B, H, W) disparity at 1/4 resolution (already scaled by 4).
+      up_weights: (B, 4H, 4W, 9) softmax weights.
+
+    Returns:
+      (B, 4H, 4W) upsampled disparity.
+    """
+    patches = unfold3x3(disp_low)                # (B,H,W,9)
+    patches = nearest_up4(patches)               # (B,4H,4W,9)
+    return jnp.sum(patches * up_weights, axis=-1)
+
+
+def avg_pool2d(x: jnp.ndarray, kernel: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
+    """``F.avg_pool2d`` with count_include_pad=True on (B, H, W, C)."""
+    summed = jax.lax.reduce_window(
+        x,
+        jnp.array(0, x.dtype),
+        jax.lax.add,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return summed / (kernel * kernel)
