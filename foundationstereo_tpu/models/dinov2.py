@@ -1,0 +1,157 @@
+"""DINOv2 Vision Transformer (flax, NHWC) — the frozen monocular backbone.
+
+Re-implements the forward path of the reference's vendored ViT
+(dinov2/dinov2/models/vision_transformer.py:45-330, layers/{attention,block,
+mlp,patch_embed}.py) as used by DepthAnything: patch embed, cls token,
+bicubic pos-embed interpolation with the historical +0.1 scale-factor kludge
+(vision_transformer.py:195-209), pre-norm blocks with LayerScale (hub models
+use init_values=1.0, dinov2/hub/backbones.py:26), and
+``get_intermediate_layers`` returning normalized patch tokens + cls tokens.
+
+The attention here is the #1 FLOPs consumer of the whole pipeline (up to
+~9k tokens at dim 1024); it runs as a fused XLA softmax attention in bf16,
+batched over both stereo views.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from foundationstereo_tpu.config import VIT_CONFIGS
+from foundationstereo_tpu.ops.resize import resize1d_matrix
+
+Dtype = Any
+
+
+class ViTAttention(nn.Module):
+    """Joint-QKV multi-head self-attention (dinov2 layers/attention.py:36-99)."""
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        hd = C // self.num_heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=jnp.float32, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = 1.0 / np.sqrt(hd)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm block with LayerScale (dinov2 layers/block.py:43-116)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        h = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32, name="norm1")(x)
+        h = ViTAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
+        x = x + ls1.astype(h.dtype) * h
+        h = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32, name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        h = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="mlp_fc2")(h)
+        x = x + ls2.astype(h.dtype) * h
+        return x
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, hp: int, wp: int,
+                          offset: float = 0.1) -> jnp.ndarray:
+    """Bicubic pos-embed interpolation with the +offset scale kludge.
+
+    pos_embed: (1, 1+M*M, C) [cls + M*M patch embeddings].
+    Returns (1, 1+hp*wp, C).
+    """
+    n = pos_embed.shape[1] - 1
+    m = int(np.sqrt(n))
+    assert m * m == n
+    if hp == m and wp == m:
+        return pos_embed
+    cls_pe = pos_embed[:, :1]
+    patch_pe = pos_embed[:, 1:].reshape(1, m, m, -1).astype(jnp.float32)
+    sh = float(hp + offset) / m
+    sw = float(wp + offset) / m
+    mh = resize1d_matrix(m, hp, "cubic", False, scale_factor=sh)
+    mw = resize1d_matrix(m, wp, "cubic", False, scale_factor=sw)
+    patch_pe = jnp.einsum("oh,bhwc->bowc", mh, patch_pe)
+    patch_pe = jnp.einsum("ow,bhwc->bhoc", mw, patch_pe)
+    patch_pe = patch_pe.reshape(1, hp * wp, -1)
+    return jnp.concatenate([cls_pe.astype(jnp.float32), patch_pe], axis=1).astype(pos_embed.dtype)
+
+
+class DinoVisionTransformer(nn.Module):
+    """DINOv2 ViT forward path with intermediate-layer taps.
+
+    Input: (B, H, W, 3), H and W divisible by patch_size.
+    """
+
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int = 14
+    pretrain_img_size: int = 518
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, intermediate_layers: Sequence[int]):
+        B, H, W, _ = x.shape
+        hp, wp = H // self.patch_size, W // self.patch_size
+        num_pretrain_patches = (self.pretrain_img_size // self.patch_size) ** 2
+
+        patches = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                          strides=(self.patch_size, self.patch_size),
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name="patch_embed")(x)
+        tokens = patches.reshape(B, hp * wp, self.embed_dim)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, self.embed_dim), jnp.float32)
+        pos_embed = self.param("pos_embed",
+                               nn.initializers.normal(0.02),
+                               (1, num_pretrain_patches + 1, self.embed_dim), jnp.float32)
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(tokens.dtype), (B, 1, self.embed_dim)), tokens],
+            axis=1)
+        pe = interpolate_pos_embed(pos_embed, hp, wp)
+        tokens = tokens + pe.astype(tokens.dtype)
+
+        taps = {}
+        want = set(intermediate_layers)
+        for i in range(self.depth):
+            tokens = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
+                              dtype=self.dtype, name=f"block{i}")(tokens)
+            if i in want:
+                taps[i] = tokens
+
+        norm = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32, name="norm")
+        outputs = []
+        for i in intermediate_layers:
+            t = norm(taps[i])
+            outputs.append((t[:, 1:], t[:, 0]))  # (patch tokens, cls token)
+        return outputs
+
+
+def make_vit(vit_size: str, dtype=jnp.float32) -> DinoVisionTransformer:
+    cfg = VIT_CONFIGS[vit_size]
+    return DinoVisionTransformer(
+        embed_dim=cfg["embed_dim"], depth=cfg["depth"], num_heads=cfg["num_heads"],
+        dtype=dtype)

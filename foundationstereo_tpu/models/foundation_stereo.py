@@ -1,0 +1,162 @@
+"""FoundationStereo-TPU top-level model.
+
+Channel-last, functional re-design of core/foundation_stereo.py:127-274:
+
+  features -> cost volume (gwc + concat) -> corr_stem/FeatureAtt -> AHCF
+  hourglass + disparity transformer -> soft-argmin init -> context net +
+  attention gates -> iterative selective-ConvGRU refinement with pyramid
+  lookups -> convex upsampling.
+
+Mixed-precision policy mirrors the reference's autocast islands: modules run
+in bf16 when cfg.mixed_precision, while correlation normalization/dots, the
+soft-argmin, lookup sampling, and the disparity accumulator stay fp32
+(core/submodule.py:394, core/geometry.py:74, core/foundation_stereo.py:229-247).
+
+The GRU loop is a statically-unrolled Python loop over `iters` (static under
+jit); each iteration is rematerialized during training to bound memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from foundationstereo_tpu.config import ModelConfig
+from foundationstereo_tpu.models.cost_filter import Classifier, CorrStem, Hourglass
+from foundationstereo_tpu.models.extractor import (
+    ContextNetDino,
+    Feature,
+    Stem2,
+    feature_dims,
+)
+from foundationstereo_tpu.models.layers import (
+    ChannelAttentionEnhancement,
+    Conv,
+    Conv2x,
+    ConvTranspose,
+    FeatureAtt,
+    SpatialAttentionExtractor,
+)
+from foundationstereo_tpu.models.update import BasicSelectiveMultiUpdateBlock
+from foundationstereo_tpu.ops.cost_volume import (
+    all_pairs_correlation,
+    build_concat_volume,
+    build_gwc_volume,
+)
+from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
+from foundationstereo_tpu.ops.upsample import context_upsample, disparity_regression
+from foundationstereo_tpu.utils.misc import IMAGENET_MEAN, IMAGENET_STD
+
+Dtype = Any
+
+
+def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W,3) RGB in 0-255 -> ImageNet-normalized float
+    (core/foundation_stereo.py:37-42)."""
+    mean = jnp.asarray(IMAGENET_MEAN)
+    std = jnp.asarray(IMAGENET_STD)
+    return (img.astype(jnp.float32) / 255.0 - mean) / std
+
+
+class FoundationStereo(nn.Module):
+    """The full stereo pipeline.
+
+    __call__(left, right, iters, test_mode, init_disp) where left/right are
+    (B, H, W, 3) RGB in [0, 255], H and W divisible by 32.
+
+    Returns:
+      test_mode=True:  (B, H, W) final disparity.
+      test_mode=False: ((B, H/4, W/4) initial disparity,
+                        [ (B, H, W) per-iteration upsampled disparities ]).
+    """
+
+    cfg: ModelConfig
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.cfg.mixed_precision else jnp.float32
+
+    @nn.compact
+    def __call__(self, left, right, iters: int = 12, test_mode: bool = False,
+                 init_disp: Optional[jnp.ndarray] = None, train: bool = False):
+        cfg = self.cfg
+        dt = self.compute_dtype
+        B, H, W, _ = left.shape
+        D = cfg.max_disp // 4
+
+        img1 = normalize_image(left).astype(dt)
+        img2 = normalize_image(right).astype(dt)
+
+        # --- Unary features (both views through one batched trunk) ---------
+        feat = Feature(cfg, dtype=dt, name="feature")
+        out, vit_feat = feat(jnp.concatenate([img1, img2], axis=0), train)
+        vit_feat = vit_feat[:B]
+        features_left = [o[:B] for o in out]
+        features_right = [o[B:] for o in out]
+        stem_2x = Stem2(dtype=dt, name="stem_2")(img1, train)
+
+        # --- Cost volume ----------------------------------------------------
+        gwc = build_gwc_volume(features_left[0], features_right[0], D, cfg.cv_group)
+        proj = Conv(12, 1, 1, 0, dtype=dt, name="proj_cmb")
+        concat_vol = build_concat_volume(proj(features_left[0]), proj(features_right[0]), D)
+        comb = jnp.concatenate([gwc.astype(dt), concat_vol.astype(dt)], axis=-1)
+
+        comb = CorrStem(cfg.volume_dim, dtype=dt, name="corr_stem")(comb, train)
+        comb = FeatureAtt(cfg.volume_dim, dtype=dt, name="corr_feature_att")(
+            comb, features_left[0], train)
+        comb = Hourglass(cfg.volume_dim, cfg.max_disp, dtype=dt,
+                         name="cost_agg")(comb, features_left, train)
+
+        # --- Initial disparity (soft-argmin, fp32) --------------------------
+        logits = Classifier(cfg.volume_dim, dtype=dt, name="classifier")(comb, train)
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)  # (B, D, H/4, W/4)
+        if init_disp is None:
+            init_disp = disparity_regression(prob, D)  # (B, H/4, W/4)
+
+        # --- Context + attention gates -------------------------------------
+        cnet = ContextNetDino(cfg, dtype=dt, name="cnet")
+        cnet_list = cnet(img1, vit_feat, train)
+        net_list = [jnp.tanh(h) for (h, _c) in cnet_list]
+        inp_list = [nn.relu(c) for (_h, c) in cnet_list]
+        cam = ChannelAttentionEnhancement(dtype=dt, name="cam")
+        inp_list = [cam(x) * x for x in inp_list]
+        sam = SpatialAttentionExtractor(dtype=dt, name="sam")
+        att = [sam(x) for x in inp_list]
+
+        # --- Geometry encoding pyramids (fp32) ------------------------------
+        geo_base = comb.astype(jnp.float32).transpose(0, 2, 3, 4, 1)  # (B,H,W,C,D)
+        corr_base = all_pairs_correlation(features_left[0], features_right[0])
+        geo_pyramid = pool_last_axis(geo_base, cfg.corr_levels - 1)
+        corr_pyramid = pool_last_axis(corr_base, cfg.corr_levels - 1)
+
+        # --- Iterative refinement -------------------------------------------
+        update = BasicSelectiveMultiUpdateBlock(
+            cfg.hidden_dims[0], cfg.n_gru_layers, dtype=dt, name="update_block")
+        spx_2_gru = Conv2x(32, deconv=True, bn=False, dtype=dt, name="spx_2_gru")
+        spx_gru = ConvTranspose(9, 4, 2, 1, dtype=dt, name="spx_gru")
+
+        def upsample_disp(disp, mask_feat):
+            xspx = spx_2_gru(mask_feat, stem_2x, train)
+            spx_pred = jax.nn.softmax(spx_gru(xspx).astype(jnp.float32), axis=-1)
+            return context_upsample(disp * 4.0, spx_pred).astype(jnp.float32)
+
+        disp = init_disp.astype(jnp.float32)
+        disp_preds = []
+        disp_up = None
+        for itr in range(iters):
+            disp = jax.lax.stop_gradient(disp)
+            geo_feat = disparity_lookup(geo_pyramid, corr_pyramid, disp, cfg.corr_radius)
+            net_list, mask_feat, delta = update(
+                net_list, inp_list, geo_feat.astype(dt), disp[..., None].astype(dt), att)
+            disp = disp + delta[..., 0].astype(jnp.float32)
+            if test_mode and itr < iters - 1:
+                continue
+            disp_up = upsample_disp(disp, mask_feat)
+            disp_preds.append(disp_up)
+
+        if test_mode:
+            return disp_up
+        return init_disp, disp_preds

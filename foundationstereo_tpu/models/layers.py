@@ -1,0 +1,573 @@
+"""Building-block layers (flax.linen, channel-last NHWC / NDHWC).
+
+TPU-native re-implementations of the reference's block zoo
+(core/submodule.py, core/extractor.py:20-80, core/update.py:20-48): same
+math and tensor contracts, but channel-last layouts, explicit torch-parity
+transposed convolutions, and fp32 normalization statistics under a bf16
+compute policy.
+
+`dtype` on each module is the *compute* dtype (autocast analog); parameters
+are always stored fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+Dtype = Any
+
+
+def _ntuple(x, n):
+    if isinstance(x, (tuple, list)):
+        assert len(x) == n
+        return tuple(x)
+    return (x,) * n
+
+
+def leaky_relu(x):
+    return nn.leaky_relu(x, negative_slope=0.01)
+
+
+def gelu(x):
+    return nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+
+class Conv(nn.Module):
+    """Plain convolution with torch-style int padding. ndim = len(kernel_size)."""
+
+    features: int
+    kernel_size: Sequence[int] | int
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 0
+    dilation: Sequence[int] | int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = len(self.kernel_size) if isinstance(self.kernel_size, (tuple, list)) else x.ndim - 2
+        ks = _ntuple(self.kernel_size, n)
+        st = _ntuple(self.strides, n)
+        pd = [(p, p) for p in _ntuple(self.padding, n)]
+        dl = _ntuple(self.dilation, n)
+        return nn.Conv(
+            features=self.features,
+            kernel_size=ks,
+            strides=st,
+            padding=pd,
+            kernel_dilation=dl,
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ConvTranspose(nn.Module):
+    """Transposed convolution with exact torch ``ConvTransposeNd`` semantics.
+
+    Implemented as conv(dilate(x, stride), flip(W), pad=k-1-p): output size is
+    (in-1)*stride - 2*padding + kernel, matching torch for the k=4/s=2/p=1
+    upsamplers used throughout the reference.
+    """
+
+    features: int
+    kernel_size: Sequence[int] | int
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = x.ndim - 2
+        ks = _ntuple(self.kernel_size, n)
+        st = _ntuple(self.strides, n)
+        pd = _ntuple(self.padding, n)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            ks + (in_ch, self.features),
+            jnp.float32,
+        )
+        k = jnp.flip(kernel, axis=tuple(range(n))).astype(self.dtype)
+        pad = [(kk - 1 - pp, kk - 1 - pp) for kk, pp in zip(ks, pd)]
+        if n == 2:
+            dn = ("NHWC", "HWIO", "NHWC")
+        elif n == 3:
+            dn = ("NDHWC", "DHWIO", "NDHWC")
+        else:
+            raise ValueError(f"unsupported ndim {n}")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k,
+            window_strides=(1,) * n,
+            padding=pad,
+            lhs_dilation=st,
+            dimension_numbers=dn,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+class InstanceNorm(nn.Module):
+    """torch InstanceNormNd default: affine=False, eps=1e-5, per-sample stats
+    over all spatial axes."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+
+
+class BatchNorm(nn.Module):
+    """torch BatchNormNd parity: eps=1e-5, momentum=0.1, affine, running stats."""
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.eps,
+            dtype=None,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class LayerNorm2d(nn.Module):
+    """LayerNorm over the channel axis of NHWC tensors (eps 1e-6)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.eps, dtype=None, param_dtype=jnp.float32)(x)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.eps,
+                            dtype=None, param_dtype=jnp.float32)(x)
+
+
+def make_norm(kind: str, channels: int, name: str | None = None):
+    """Factory matching the reference's norm_fn strings."""
+    if kind == "batch":
+        return BatchNorm(name=name)
+    if kind == "instance":
+        return InstanceNorm(name=name)
+    if kind == "group":
+        return GroupNorm(num_groups=channels // 8, name=name)
+    if kind == "layer":
+        return LayerNorm2d(name=name)
+    if kind == "none":
+        return None
+    raise ValueError(kind)
+
+
+def apply_norm(norm, x, train: bool):
+    if norm is None:
+        return x
+    if isinstance(norm, BatchNorm):
+        return norm(x, train=train)
+    return norm(x)
+
+
+# ---------------------------------------------------------------------------
+# Composite blocks (reference core/submodule.py)
+# ---------------------------------------------------------------------------
+
+
+class BasicConv(nn.Module):
+    """conv/deconv + optional norm + LeakyReLU (core/submodule.py:51-86).
+
+    Works for 2D and 3D (is_3d is inferred from input rank).
+    """
+
+    features: int
+    kernel_size: Sequence[int] | int
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 0
+    dilation: Sequence[int] | int = 1
+    deconv: bool = False
+    bn: bool = True
+    norm: str = "batch"
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.deconv:
+            x = ConvTranspose(self.features, self.kernel_size, self.strides,
+                              self.padding, use_bias=False, dtype=self.dtype)(x)
+        else:
+            x = Conv(self.features, self.kernel_size, self.strides, self.padding,
+                     self.dilation, use_bias=False, dtype=self.dtype)(x)
+        if self.bn:
+            norm = make_norm(self.norm, self.features)
+            x = apply_norm(norm, x, train)
+        if self.relu:
+            x = leaky_relu(x)
+        return x
+
+
+class BasicConvIN(nn.Module):
+    """conv/deconv + InstanceNorm + LeakyReLU (core/submodule.py:320-346)."""
+
+    features: int
+    kernel_size: Sequence[int] | int
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 0
+    deconv: bool = False
+    use_in: bool = True
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.deconv:
+            x = ConvTranspose(self.features, self.kernel_size, self.strides,
+                              self.padding, use_bias=False, dtype=self.dtype)(x)
+        else:
+            x = Conv(self.features, self.kernel_size, self.strides, self.padding,
+                     use_bias=False, dtype=self.dtype)(x)
+        if self.use_in:
+            x = InstanceNorm()(x)
+        if self.relu:
+            x = leaky_relu(x)
+        return x
+
+
+class ResnetBasicBlock(nn.Module):
+    """2-conv residual block, bias=False, configurable norm
+    (core/submodule.py:119-156). Also covers the 3D variant (:159-195)."""
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    norm: str = "batch"
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv(self.features, self.kernel_size, 1, self.padding,
+                 use_bias=False, dtype=self.dtype)(x)
+        y = apply_norm(make_norm(self.norm, self.features), y, train)
+        y = nn.relu(y)
+        y = Conv(self.features, self.kernel_size, 1, self.padding,
+                 use_bias=False, dtype=self.dtype)(y)
+        y = apply_norm(make_norm(self.norm, self.features), y, train)
+        assert x.shape[-1] == self.features, "in/out channels must match (no downsample path used upstream)"
+        return nn.relu(x + y)
+
+
+class ResidualBlock(nn.Module):
+    """Extractor residual block with biased convs and optional strided
+    downsample path (core/extractor.py:20-80)."""
+
+    features: int
+    norm: str = "group"
+    strides: int = 1
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        y = Conv(self.features, 3, self.strides, 1, dtype=self.dtype)(x)
+        y = apply_norm(make_norm(self.norm, self.features), y, train)
+        y = nn.relu(y)
+        y = Conv(self.features, 3, 1, 1, dtype=self.dtype)(y)
+        y = apply_norm(make_norm(self.norm, self.features), y, train)
+        y = nn.relu(y)
+        if not (self.strides == 1 and in_ch == self.features):
+            x = Conv(self.features, 1, self.strides, 0, dtype=self.dtype)(x)
+            x = apply_norm(make_norm(self.norm, self.features), x, train)
+        return nn.relu(x + y)
+
+
+class Conv3dNormActReduced(nn.Module):
+    """APC: axial-planar factorized 3D conv — (1,k,k) spatial then (kd,1,1)
+    disparity conv, each + BN + ReLU (core/submodule.py:89-114)."""
+
+    features: int
+    hidden: int | None = None
+    kernel_size: int = 3
+    kernel_disp: int = 17
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.hidden or self.features
+        k = self.kernel_size
+        x = Conv(hidden, (1, k, k), 1, (0, k // 2, k // 2), dtype=self.dtype)(x)
+        x = BatchNorm()(x, train=train)
+        x = nn.relu(x)
+        kd = self.kernel_disp
+        x = Conv(self.features, (kd, 1, 1), 1, (kd // 2, 0, 0), dtype=self.dtype)(x)
+        x = BatchNorm()(x, train=train)
+        x = nn.relu(x)
+        return x
+
+
+class Conv2x(nn.Module):
+    """Upsample-and-fuse block (core/submodule.py:281-317): deconv/conv 2x,
+    concat skip, fuse conv."""
+
+    features: int
+    deconv: bool = False
+    concat: bool = True
+    keep_concat: bool = True
+    bn: bool = True
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rem, train: bool = False):
+        is_3d = x.ndim == 5
+        if self.deconv:
+            kernel = (4, 4, 4) if is_3d else 4
+            x = BasicConv(self.features, kernel, 2, 1, deconv=True, bn=self.bn,
+                          relu=True, dtype=self.dtype)(x, train)
+        else:
+            x = BasicConv(self.features, 3, 2, 1, bn=self.bn, relu=True,
+                          dtype=self.dtype)(x, train)
+        if x.shape != rem.shape:
+            from foundationstereo_tpu.ops.resize import resize2d
+            x = resize2d(x, (rem.shape[-3], rem.shape[-2]), "bilinear", False)
+        if self.concat:
+            x = jnp.concatenate([x, rem], axis=-1)
+            mul = 2 if self.keep_concat else 1
+            x = BasicConv(self.features * mul, 3, 1, 1, bn=self.bn,
+                          relu=self.relu, dtype=self.dtype)(x, train)
+        else:
+            x = x + rem
+            x = BasicConv(self.features, 3, 1, 1, bn=self.bn, relu=self.relu,
+                          dtype=self.dtype)(x, train)
+        return x
+
+
+class Conv2xIN(nn.Module):
+    """Instance-norm variant used by the STA feature pyramid
+    (core/submodule.py:349-385): deconv 2x + concat + instance-norm resblock."""
+
+    features: int
+    deconv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rem, train: bool = False):
+        kernel = 4 if self.deconv else 3
+        x = BasicConvIN(self.features, kernel, 2, 1, deconv=self.deconv,
+                        dtype=self.dtype)(x, train)
+        if x.shape != rem.shape:
+            from foundationstereo_tpu.ops.resize import resize2d
+            x = resize2d(x, (rem.shape[-3], rem.shape[-2]), "bilinear", False)
+        x = jnp.concatenate([x, rem], axis=-1)
+        x = ResnetBasicBlock(self.features * 2, norm="instance", dtype=self.dtype)(x, train)
+        return x
+
+
+class FeatureAtt(nn.Module):
+    """Sigmoid gating of a cost volume by 2D image features
+    (core/submodule.py:438-454). cv: (B,D,H,W,C); feat: (B,H,W,Cf)."""
+
+    cv_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cv, feat, train: bool = False):
+        feat_ch = feat.shape[-1]
+        a = BasicConv(feat_ch // 2, 1, 1, 0, dtype=self.dtype)(feat, train)
+        a = Conv(self.cv_channels, 1, dtype=self.dtype)(a)
+        return jax.nn.sigmoid(a.astype(cv.dtype))[:, None] * cv
+
+
+class ChannelAttentionEnhancement(nn.Module):
+    """SE-style channel attention (core/submodule.py:532-547)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        fc1 = Conv(c // 16, 1, use_bias=False, dtype=self.dtype)
+        fc2 = Conv(c, 1, use_bias=False, dtype=self.dtype)
+        avg = jnp.mean(x, axis=(1, 2), keepdims=True)
+        mx = jnp.max(x, axis=(1, 2), keepdims=True)
+        out = fc2(nn.relu(fc1(avg))) + fc2(nn.relu(fc1(mx)))
+        return jax.nn.sigmoid(out)
+
+
+class SpatialAttentionExtractor(nn.Module):
+    """7x7 conv over [mean, max] channel maps -> sigmoid spatial attention
+    (core/submodule.py:549-561)."""
+
+    kernel_size: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        s = jnp.concatenate([avg, mx], axis=-1)
+        s = Conv(1, self.kernel_size, 1, self.kernel_size // 2, use_bias=False,
+                 dtype=self.dtype)(s)
+        return jax.nn.sigmoid(s)
+
+
+class EdgeNextConvEncoder(nn.Module):
+    """ConvNeXt-style block: depthwise k7 + (LN) + pointwise MLP + layer scale
+    (core/submodule.py:565-591)."""
+
+    dim: int
+    expan_ratio: int = 4
+    kernel_size: int = 7
+    use_norm: bool = True
+    layer_scale_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        x = Conv(self.dim, self.kernel_size, 1, self.kernel_size // 2,
+                 groups=self.dim, dtype=self.dtype)(x)
+        if self.use_norm:
+            x = LayerNorm2d()(x)
+        x = nn.Dense(self.expan_ratio * self.dim, dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
+        x = gelu(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param("gamma",
+                               nn.initializers.constant(self.layer_scale_init_value),
+                               (self.dim,), jnp.float32)
+            x = gamma.astype(x.dtype) * x
+        return inp + x
+
+
+# ---------------------------------------------------------------------------
+# Disparity transformer (DT) pieces
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_position_embedding(max_len: int, d_model: int) -> jnp.ndarray:
+    """(1, max_len, d_model) sinusoidal table (core/submodule.py:472-502)."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(np.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), np.float64)
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return jnp.asarray(pe[None], dtype=jnp.float32)
+
+
+class MultiheadAttention(nn.Module):
+    """Full softmax attention with separate q/k/v/out projections — the
+    reference's FlashMultiheadAttention contract (core/submodule.py:198-229).
+    Sequences here are short (max_disp/16 tokens), so a fused einsum softmax
+    is already at speed of light on TPU; no flash tiling needed."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        B, L, C = q.shape
+        hd = self.embed_dim // self.num_heads
+        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype,
+                                      param_dtype=jnp.float32, name=name)
+        qp = dense("q_proj")(q).reshape(B, L, self.num_heads, hd)
+        kp = dense("k_proj")(k).reshape(B, -1, self.num_heads, hd)
+        vp = dense("v_proj")(v).reshape(B, -1, self.num_heads, hd)
+        scale = 1.0 / np.sqrt(hd)
+        logits = jnp.einsum("blhd,bmhd->bhlm", qp, kp) * scale
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(vp.dtype)
+        out = jnp.einsum("bhlm,bmhd->blhd", w, vp).reshape(B, L, C)
+        return dense("out_proj")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer with GELU FFN
+    (core/submodule.py:233-257)."""
+
+    embed_dim: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        attn = MultiheadAttention(self.embed_dim, self.num_heads, dtype=self.dtype)(x, x, x)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        x = nn.LayerNorm(param_dtype=jnp.float32)(x + attn)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype, param_dtype=jnp.float32)(x)
+        h = gelu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.embed_dim, dtype=self.dtype, param_dtype=jnp.float32)(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = nn.LayerNorm(param_dtype=jnp.float32)(x + h)
+        return x
+
+
+class CostVolumeDisparityAttention(nn.Module):
+    """Self-attention along the disparity axis of a cost volume
+    (core/submodule.py:506-528). cv: (B, D, H, W, C) -> same shape.
+
+    Each (h, w) location becomes an independent D-token sequence — on TPU
+    this is embarrassingly parallel over B*H*W and needs no ring attention.
+    """
+
+    d_model: int
+    nhead: int = 4
+    dim_feedforward: int | None = None
+    num_transformer: int = 4
+    max_len: int = 512
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cv, train: bool = False):
+        B, D, H, W, C = cv.shape
+        x = cv.transpose(0, 2, 3, 1, 4).reshape(B * H * W, D, C)
+        pe = sinusoidal_position_embedding(self.max_len, self.d_model)
+        x = x + pe[:, :D].astype(x.dtype)
+        ff = self.dim_feedforward or self.d_model
+        for _ in range(self.num_transformer):
+            x = TransformerEncoderLayer(self.d_model, self.nhead, ff,
+                                        self.dropout, dtype=self.dtype)(x, train)
+        return x.reshape(B, H, W, D, C).transpose(0, 3, 1, 2, 4)

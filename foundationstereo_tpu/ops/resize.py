@@ -21,8 +21,15 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=256)
-def _interp_matrix_np(in_size: int, out_size: int, method: str, align_corners: bool) -> np.ndarray:
-    """Dense (out_size, in_size) row-stochastic interpolation matrix."""
+def _interp_matrix_np(in_size: int, out_size: int, method: str, align_corners: bool,
+                      scale_factor: float | None = None) -> np.ndarray:
+    """Dense (out_size, in_size) row-stochastic interpolation matrix.
+
+    ``scale_factor``: when given (and align_corners=False), use torch's
+    scale-factor coordinate mapping src=(dst+0.5)/scale-0.5 instead of the
+    size ratio — needed for DINOv2's pos-embed interpolation, which passes an
+    explicit fractional scale (vision_transformer.py:195-209).
+    """
     if method == "nearest":
         scale = in_size / out_size
         idx = np.minimum((np.arange(out_size) * scale).astype(np.int64), in_size - 1)
@@ -36,7 +43,7 @@ def _interp_matrix_np(in_size: int, out_size: int, method: str, align_corners: b
         else:
             src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
     else:
-        scale = in_size / out_size
+        scale = (1.0 / scale_factor) if scale_factor else (in_size / out_size)
         src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
 
     m = np.zeros((out_size, in_size), np.float64)
@@ -68,9 +75,9 @@ def _interp_matrix_np(in_size: int, out_size: int, method: str, align_corners: b
 
 
 def resize1d_matrix(in_size: int, out_size: int, method: str = "linear",
-                    align_corners: bool = False) -> jnp.ndarray:
+                    align_corners: bool = False, scale_factor: float | None = None) -> jnp.ndarray:
     """Public access to the (out, in) interpolation matrix as a jnp constant."""
-    return jnp.asarray(_interp_matrix_np(in_size, out_size, method, align_corners))
+    return jnp.asarray(_interp_matrix_np(in_size, out_size, method, align_corners, scale_factor))
 
 
 _METHOD_ALIASES = {
