@@ -51,13 +51,19 @@ def context_upsample(disp_low: jnp.ndarray, up_weights: jnp.ndarray) -> jnp.ndar
 
 
 def avg_pool2d(x: jnp.ndarray, kernel: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
-    """``F.avg_pool2d`` with count_include_pad=True on (B, H, W, C)."""
-    summed = jax.lax.reduce_window(
-        x,
-        jnp.array(0, x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, kernel, kernel, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
-    )
-    return summed / (kernel * kernel)
+    """``F.avg_pool2d`` with count_include_pad=True on (B, H, W, C).
+
+    Implemented as a sum of k*k strided slices (differentiable, fuses into a
+    single XLA kernel; avoids reduce_window's autodiff limitations).
+    """
+    h, w = x.shape[1], x.shape[2]
+    oh = (h + 2 * padding - kernel) // stride + 1
+    ow = (w + 2 * padding - kernel) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    out = None
+    for dy in range(kernel):
+        for dx in range(kernel):
+            tap = xp[:, dy : dy + stride * (oh - 1) + 1 : stride,
+                     dx : dx + stride * (ow - 1) + 1 : stride]
+            out = tap if out is None else out + tap
+    return out / (kernel * kernel)
