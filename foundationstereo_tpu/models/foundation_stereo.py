@@ -48,6 +48,7 @@ from foundationstereo_tpu.ops.cost_volume import (
 )
 from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
 from foundationstereo_tpu.ops.upsample import context_upsample, disparity_regression
+from foundationstereo_tpu.parallel.sharding import shard_batch, shard_spatial
 from foundationstereo_tpu.utils.misc import IMAGENET_MEAN, IMAGENET_STD
 
 Dtype = Any
@@ -99,16 +100,23 @@ class FoundationStereo(nn.Module):
         stem_2x = Stem2(dtype=dt, name="stem_2")(img1, train)
 
         # --- Cost volume ----------------------------------------------------
+        # Sharding hints: batch over 'data'; the (B, D, H, W, C) volume over
+        # image width on 'spatial' — GSPMD spatially partitions the 3D
+        # filtering below and inserts halo exchanges over ICI.
+        features_left = [shard_batch(f) for f in features_left]
+        features_right = [shard_batch(f) for f in features_right]
         gwc = build_gwc_volume(features_left[0], features_right[0], D, cfg.cv_group)
         proj = Conv(12, 1, 1, 0, dtype=dt, name="proj_cmb")
         concat_vol = build_concat_volume(proj(features_left[0]), proj(features_right[0]), D)
         comb = jnp.concatenate([gwc.astype(dt), concat_vol.astype(dt)], axis=-1)
+        comb = shard_spatial(comb, w_axis=3)
 
         comb = CorrStem(cfg.volume_dim, dtype=dt, name="corr_stem")(comb, train)
         comb = FeatureAtt(cfg.volume_dim, dtype=dt, name="corr_feature_att")(
             comb, features_left[0], train)
         comb = Hourglass(cfg.volume_dim, cfg.max_disp, dtype=dt,
                          name="cost_agg")(comb, features_left, train)
+        comb = shard_spatial(comb, w_axis=3)
 
         # --- Initial disparity (soft-argmin, fp32) --------------------------
         logits = Classifier(cfg.volume_dim, dtype=dt, name="classifier")(comb, train)

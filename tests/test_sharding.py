@@ -1,0 +1,66 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from foundationstereo_tpu.parallel import make_mesh, mesh_context
+from foundationstereo_tpu.parallel.sharding import (
+    batch_sharding,
+    place_batch,
+    replicate,
+    shard_spatial,
+)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert dict(mesh.shape) == {"data": 2, "spatial": 4}
+    mesh = make_mesh(4)
+    assert dict(mesh.shape) == {"data": 1, "spatial": 4}
+    mesh = make_mesh(2)
+    assert dict(mesh.shape) == {"data": 1, "spatial": 2}
+    mesh = make_mesh(1)
+    assert dict(mesh.shape) == {"data": 1, "spatial": 1}
+
+
+def test_spatial_constraint_partitions_result():
+    mesh = make_mesh(8)
+    x = jnp.zeros((2, 8, 4, 16, 3))  # (B, D, H, W, C)
+
+    with mesh_context(mesh):
+        f = jax.jit(lambda t: shard_spatial(t * 2.0, w_axis=3))
+        y = f(jax.device_put(x, batch_sharding(mesh, x.ndim)))
+    spec = y.sharding.spec
+    assert spec[3] == "spatial"
+
+
+def test_sharded_gwc_matches_single_device(rng):
+    """Cost-volume build under a spatial mesh must equal single-device."""
+    from foundationstereo_tpu.ops.cost_volume import build_gwc_volume
+
+    b, h, w, c, d, g = 2, 4, 64, 16, 16, 4
+    l = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    ref = np.asarray(build_gwc_volume(l, r, d, g))
+
+    mesh = make_mesh(8)
+    with mesh_context(mesh):
+        fn = jax.jit(lambda a, b_: shard_spatial(
+            build_gwc_volume(a, b_, d, g), w_axis=3))
+        got = np.asarray(fn(jax.device_put(l, batch_sharding(mesh, 4)),
+                            jax.device_put(r, batch_sharding(mesh, 4))))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ge", "/root/repo/__graft_entry__.py")
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    ge.dryrun_multichip(8)
