@@ -1,0 +1,116 @@
+"""Benchmark: stereo pairs/sec/chip at 736x1280 (BASELINE.json north star).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "pairs/s/chip", "vs_baseline": N}
+
+Baseline: the reference reports 0.7 s/pair at 375x1242 on an A100 with 32 GRU
+iterations and max_disp=416 ("FoundationStereo: Zero-Shot Stereo Matching.md"
+line 293). Scaled to 736x1280 (2.02x the pixels) that is ~0.707 pairs/s —
+the vs_baseline denominator.
+
+Extra diagnostics go to stderr; stdout stays a single JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_S = 0.707  # A100, scaled to 736x1280 (see module docstring)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_bench(height: int, width: int, vit_size: str, max_disp: int, iters: int,
+              warmup: int, reps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fstpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from foundationstereo_tpu.config import ModelConfig
+    from foundationstereo_tpu.models.foundation_stereo import FoundationStereo
+
+    cfg = ModelConfig(max_disp=max_disp, vit_size=vit_size, mixed_precision=True)
+    model = FoundationStereo(cfg)
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(rng.uniform(0, 255, (1, height, width, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (1, height, width, 3)).astype(np.float32))
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.time()
+    variables = jax.jit(
+        lambda k: model.init(k, left, right, iters=1, test_mode=True)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
+    log(f"init: {time.time() - t0:.1f}s, params="
+        f"{sum(np.prod(p.shape) for p in jax.tree.leaves(variables['params'])) / 1e6:.1f}M")
+
+    fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, iters=iters, test_mode=True))
+    t0 = time.time()
+    out = fwd(variables, left, right)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    # Force a device->host readback per run: under remote-tunnelled platforms
+    # block_until_ready can return before execution completes, so fetching a
+    # scalar is the only reliable fence.
+    def run_once():
+        out = fwd(variables, left, right)
+        return float(jnp.sum(out))
+
+    for _ in range(warmup):
+        run_once()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    log(f"times: {[f'{t:.3f}' for t in times]} -> best {best:.3f}s")
+    return 1.0 / best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=736)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--vit_size", default="vitl")
+    ap.add_argument("--max_disp", type=int, default=416)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    attempts = [(args.vit_size, args.max_disp), (args.vit_size, 192), ("vits", 192)]
+    value = 0.0
+    used = None
+    for vit, md in attempts:
+        try:
+            value = run_bench(args.height, args.width, vit, md, args.iters,
+                              args.warmup, args.reps)
+            used = (vit, md)
+            break
+        except Exception as e:  # noqa: BLE001 — fall back on OOM
+            log(f"bench config (vit={vit}, max_disp={md}) failed: {type(e).__name__}: {e}")
+    if used != (args.vit_size, args.max_disp):
+        log(f"NOTE: fell back to config {used}")
+    print(json.dumps({
+        "metric": f"stereo pairs/sec/chip @ {args.height}x{args.width}, "
+                  f"vit={used[0] if used else args.vit_size}, "
+                  f"max_disp={used[1] if used else args.max_disp}, iters={args.iters}",
+        "value": round(value, 4),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(value / BASELINE_PAIRS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Inference-layer tests: geometry, PLY IO, demo CLI (pinhole + panorama),
+hierarchical two-pass."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from foundationstereo_tpu.inference.geometry3d import (
+    depth2xyzmap,
+    depth_from_disparity,
+    erp_pointcloud,
+    radius_outlier_removal,
+    read_intrinsics,
+    read_ply,
+    remove_invisible,
+    write_ply,
+)
+from foundationstereo_tpu.utils.vis import vis_disparity
+
+
+def test_remove_invisible():
+    disp = np.full((4, 6), 3.0)
+    out = remove_invisible(disp)
+    assert np.isinf(out[:, :3]).all()
+    assert (out[:, 3:] == 3.0).all()
+
+
+def test_depth_pipeline(rng):
+    K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], np.float32)
+    disp = rng.uniform(1, 20, (48, 64)).astype(np.float32)
+    depth = depth_from_disparity(disp, K, baseline=0.1)
+    assert depth.shape == disp.shape
+    xyz = depth2xyzmap(depth, K)
+    assert xyz.shape == (48, 64, 3)
+    # center pixel: x ~ (u - cx) z / fx
+    z = depth[24, 32]
+    np.testing.assert_allclose(xyz[24, 32, 2], z, rtol=1e-6)
+
+
+def test_erp_pointcloud_shape(rng):
+    disp = rng.uniform(1, 10, (32, 64)).astype(np.float32)
+    pts = erp_pointcloud(disp, baseline=0.1)
+    assert pts.shape == (32, 64, 3)
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    cols = rng.integers(0, 255, (100, 3)).astype(np.uint8)
+    write_ply(tmp_path / "a.ply", pts, cols)
+    p2, c2 = read_ply(tmp_path / "a.ply")
+    np.testing.assert_allclose(p2, pts)
+    np.testing.assert_array_equal(c2, cols)
+
+
+def test_radius_outlier_removal(rng):
+    cluster = rng.normal(0, 0.005, (200, 3))
+    outliers = np.array([[10.0, 10, 10], [-5, 7, 3]])
+    pts = np.concatenate([cluster, outliers])
+    keep = radius_outlier_removal(pts, nb_points=20, radius=0.03)
+    assert keep[:200].mean() > 0.9
+    assert not keep[200:].any()
+
+
+def test_read_intrinsics(tmp_path):
+    (tmp_path / "K.txt").write_text("100 0 32 0 100 24 0 0 1\n0.063\n")
+    K, b = read_intrinsics(tmp_path / "K.txt")
+    assert K.shape == (3, 3) and b == 0.063
+
+
+def test_vis_disparity(rng):
+    disp = rng.uniform(0, 50, (16, 16))
+    vis = vis_disparity(disp)
+    assert vis.shape == (16, 16, 3) and vis.dtype == np.uint8
+    disp[0, 0] = np.inf
+    vis = vis_disparity(disp, invalid_thres=1e9)
+    assert (vis[0, 0] == 0).all()
+
+
+@pytest.fixture
+def demo_assets(tmp_path, rng):
+    h, w = 64, 96
+    left = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    right = np.roll(left, -3, axis=1)  # ~3 px disparity
+    Image.fromarray(left).save(tmp_path / "left.png")
+    Image.fromarray(right).save(tmp_path / "right.png")
+    (tmp_path / "K.txt").write_text("100 0 48 0 100 32 0 0 1\n0.063\n")
+    return tmp_path
+
+
+@pytest.mark.slow
+def test_demo_cli_pinhole(demo_assets, tmp_path):
+    from foundationstereo_tpu.inference import demo
+
+    out = tmp_path / "out"
+    demo.main([
+        "--left_file", str(demo_assets / "left.png"),
+        "--right_file", str(demo_assets / "right.png"),
+        "--intrinsic_file", str(demo_assets / "K.txt"),
+        "--out_dir", str(out),
+        "--valid_iters", "2", "--max_disp", "64", "--vit_size", "vits",
+        "--denoise_cloud", "0",
+    ])
+    assert (out / "vis.png").exists()
+    assert (out / "cloud.ply").exists()
+    assert (out / "depth_meter.npy").exists()
+
+
+@pytest.mark.slow
+def test_demo_cli_panorama(demo_assets, tmp_path):
+    from foundationstereo_tpu.inference import demo
+
+    out = tmp_path / "out_pano"
+    demo.main([
+        "--camera_type", "panorama",
+        "--left_file", str(demo_assets / "left.png"),
+        "--right_file", str(demo_assets / "right.png"),
+        "--intrinsic_file", str(demo_assets / "K.txt"),
+        "--out_dir", str(out),
+        "--valid_iters", "2", "--max_disp", "64", "--vit_size", "vits",
+        "--denoise_cloud", "0",
+    ])
+    assert (out / "vis.png").exists()
+    assert (out / "cloud.ply").exists()
+
+
+@pytest.mark.slow
+def test_hierarchical_inference(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from foundationstereo_tpu.config import ModelConfig
+    from foundationstereo_tpu.inference.hierarchical import run_hierarchical
+    from foundationstereo_tpu.models.foundation_stereo import FoundationStereo
+    from foundationstereo_tpu.ops.pad import InputPadder
+
+    cfg = ModelConfig(max_disp=64, vit_size="vits", mixed_precision=False)
+    model = FoundationStereo(cfg)
+    H, W = 96, 128
+    left = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (1, H, W, 3)).astype(np.float32))
+    pad = InputPadder(left.shape, divis_by=32)
+    l0, r0 = pad.pad(left, right)
+    variables = model.init(jax.random.PRNGKey(0), l0, r0, iters=1, test_mode=True)
+
+    def apply_fn(l, r, iters, init_disp):
+        return model.apply(variables, l, r, iters=iters, test_mode=True,
+                           init_disp=init_disp)
+
+    disp = run_hierarchical(apply_fn, left, right, iters=1, small_ratio=0.5)
+    assert disp.shape == (1, H, W)
+    assert np.isfinite(np.asarray(disp)).all()
