@@ -62,6 +62,39 @@ def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
     return (img.astype(jnp.float32) / 255.0 - mean) / std
 
 
+class _RefineStep(nn.Module):
+    """One GRU refinement iteration — the body of the scan loop.
+
+    carry: (net_list tuple, disp fp32, mask_feat). `invariants` holds the
+    loop-invariant lookup pyramids / context features (passed via
+    nn.broadcast so the scan treats them as constants).
+    """
+
+    cfg: ModelConfig
+    collect: bool
+    train: bool
+    dtype_: Any
+
+    @nn.compact
+    def __call__(self, carry, invariants):
+        cfg = self.cfg
+        dt = self.dtype_
+        net_list, disp, _ = carry
+        disp = jax.lax.stop_gradient(disp)
+        geo_feat = disparity_lookup(
+            list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
+            disp, cfg.corr_radius)
+        update = BasicSelectiveMultiUpdateBlock(
+            cfg.hidden_dims[0], cfg.n_gru_layers, dtype=dt, name="update_block")
+        net_list, mask_feat, delta = update(
+            list(net_list), list(invariants["inp"]), geo_feat.astype(dt),
+            disp[..., None].astype(dt), list(invariants["att"]))
+        disp = disp + delta[..., 0].astype(jnp.float32)
+        carry = (tuple(net_list), disp, mask_feat.astype(dt))
+        y = (disp, mask_feat) if self.collect else ()
+        return carry, y
+
+
 class FoundationStereo(nn.Module):
     """The full stereo pipeline.
 
@@ -140,31 +173,50 @@ class FoundationStereo(nn.Module):
         geo_pyramid = pool_last_axis(geo_base, cfg.corr_levels - 1)
         corr_pyramid = pool_last_axis(corr_base, cfg.corr_levels - 1)
 
-        # --- Iterative refinement -------------------------------------------
-        update = BasicSelectiveMultiUpdateBlock(
-            cfg.hidden_dims[0], cfg.n_gru_layers, dtype=dt, name="update_block")
+        # --- Iterative refinement (single-trace lax.scan over iterations) ----
+        # The step is traced/compiled once regardless of `iters` (vs the
+        # reference's 32x-unrolled Python loop) and rematerialized per
+        # iteration during training to bound backward memory.
+        step_cls = _RefineStep
+        if train:
+            step_cls = nn.remat(step_cls, static_argnums=())
+        loop = nn.scan(
+            step_cls,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": False},
+            in_axes=(nn.broadcast,),
+            out_axes=0,
+            length=iters,
+        )(cfg=cfg, collect=not test_mode, train=train, dtype_=dt, name="refine")
+
+        B4 = init_disp.shape[0]
+        h4, w4 = init_disp.shape[1], init_disp.shape[2]
+        carry0 = (
+            tuple(net_list),
+            init_disp.astype(jnp.float32),
+            jnp.zeros((B4, h4, w4, 32), dt),  # mask_feat placeholder
+        )
+        invariants = {
+            "geo_pyramid": tuple(geo_pyramid),
+            "corr_pyramid": tuple(corr_pyramid),
+            "inp": tuple(inp_list),
+            "att": tuple(att),
+            "stem_2x": stem_2x,
+        }
+        (net_final, disp, mask_feat), ys = loop(carry0, invariants)
+
         spx_2_gru = Conv2x(32, deconv=True, bn=False, dtype=dt, name="spx_2_gru")
         spx_gru = ConvTranspose(9, 4, 2, 1, dtype=dt, name="spx_gru")
 
-        def upsample_disp(disp, mask_feat):
-            xspx = spx_2_gru(mask_feat, stem_2x, train)
+        def upsample_disp(disp_, mask_feat_):
+            xspx = spx_2_gru(mask_feat_, stem_2x, train)
             spx_pred = jax.nn.softmax(spx_gru(xspx).astype(jnp.float32), axis=-1)
-            return context_upsample(disp * 4.0, spx_pred).astype(jnp.float32)
-
-        disp = init_disp.astype(jnp.float32)
-        disp_preds = []
-        disp_up = None
-        for itr in range(iters):
-            disp = jax.lax.stop_gradient(disp)
-            geo_feat = disparity_lookup(geo_pyramid, corr_pyramid, disp, cfg.corr_radius)
-            net_list, mask_feat, delta = update(
-                net_list, inp_list, geo_feat.astype(dt), disp[..., None].astype(dt), att)
-            disp = disp + delta[..., 0].astype(jnp.float32)
-            if test_mode and itr < iters - 1:
-                continue
-            disp_up = upsample_disp(disp, mask_feat)
-            disp_preds.append(disp_up)
+            return context_upsample(disp_ * 4.0, spx_pred).astype(jnp.float32)
 
         if test_mode:
-            return disp_up
+            return upsample_disp(disp, mask_feat)
+        # Train mode: upsample every iteration's disparity (scan stacked them).
+        disp_stack, mask_stack = ys  # (iters, B, h4, w4), (iters, B, h4, w4, 32)
+        disp_preds = [upsample_disp(disp_stack[i], mask_stack[i])
+                      for i in range(iters)]
         return init_disp, disp_preds

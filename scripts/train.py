@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+TPU-native counterpart of the reference's scripts/train.py: JSON config with
+model/data/loss/optimizer/lr_scheduler sections, checkpoint resume (path |
+"latest" | step number), periodic async checkpoints, metric logging (JSONL +
+optional MLflow), EMA, and mesh-sharded data parallelism — but the entire
+step (forward/loss/backward/update/EMA) is one compiled XLA program and the
+data pipeline prefetches on host threads.
+
+Usage:
+  python scripts/train.py --config configs/train/stereo_v1.json \
+      --workspace workspace/run1 [--num_iterations N] [--batch_size B] \
+      [--checkpoint latest] [--n_devices N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--workspace", default="workspace/run")
+    ap.add_argument("--num_iterations", type=int, default=200_000)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    ap.add_argument("--checkpoint", default="latest",
+                    help="'latest', a step number, or 'none'")
+    ap.add_argument("--save_every", type=int, default=1000)
+    ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ema", type=int, default=1)
+    ap.add_argument("--n_devices", type=int, default=0,
+                    help="0 = all local devices")
+    ap.add_argument("--mlflow", type=int, default=0)
+    args = ap.parse_args()
+
+    config = json.loads(Path(args.config).read_text())
+    workspace = Path(args.workspace)
+    workspace.mkdir(parents=True, exist_ok=True)
+    (workspace / "config.json").write_text(json.dumps(config, indent=2))
+
+    import jax
+
+    from foundationstereo_tpu.parallel import make_mesh, mesh_context
+    from foundationstereo_tpu.parallel.sharding import place_batch, replicate
+    from foundationstereo_tpu.train.checkpoints import CheckpointManager
+    from foundationstereo_tpu.train.dataloader import StereoTrainDataLoaderPipeline
+    from foundationstereo_tpu.train.trainer import Trainer, make_label_index
+    from foundationstereo_tpu.utils.misc import set_seed
+
+    set_seed(args.seed)
+    n_dev = args.n_devices or len(jax.devices())
+    mesh = make_mesh(n_dev)
+    print(f"mesh: {dict(mesh.shape)}", flush=True)
+
+    mlflow = None
+    if args.mlflow:
+        try:
+            import mlflow as _mlflow
+            mlflow = _mlflow
+            mlflow.start_run()
+            mlflow.log_params({f"model.{k}": v for k, v in config["model"].items()})
+        except Exception as e:  # noqa: BLE001 — soft-fail like the reference
+            print(f"mlflow disabled: {e}")
+
+    data_pipe = StereoTrainDataLoaderPipeline(
+        config["data"], args.batch_size, num_load_workers=4)
+    data_pipe.start()
+
+    def to_device_batch(raw):
+        from foundationstereo_tpu.ops.pad import InputPadder
+        import jax.numpy as jnp
+        left = raw["left_image"] * 255.0      # model expects 0-255
+        right = raw["right_image"] * 255.0
+        padder = InputPadder(left.shape, divis_by=32)
+        left, right = padder.pad(jnp.asarray(left), jnp.asarray(right))
+        h, w = left.shape[1], left.shape[2]
+        gt = np.zeros((left.shape[0], h, w), np.float32)
+        m = np.zeros((left.shape[0], h, w), bool)
+        l, r_, t, b = padder._pad
+        gt[:, t:t + raw["disparity"].shape[1], l:l + raw["disparity"].shape[2]] = raw["disparity"]
+        m[:, t:t + raw["disparity"].shape[1], l:l + raw["disparity"].shape[2]] = raw["disparity_mask"]
+        batch = {
+            "left": np.asarray(left), "right": np.asarray(right),
+            "disparity": gt, "mask": m,
+            "label_idx": make_label_index(raw["label_type"], config["loss"]),
+            "rng": np.random.randint(0, 2 ** 31, size=2).astype(np.uint32),
+        }
+        return place_batch(batch, mesh)
+
+    with mesh_context(mesh):
+        trainer = Trainer(config, seed=args.seed, enable_ema=bool(args.ema))
+        first = to_device_batch(data_pipe.get())
+        state = trainer.init_state(first)
+        state = jax.device_put(state, replicate(mesh))
+
+        ckpt = CheckpointManager(workspace / "checkpoints", max_to_keep=5)
+        initial_step = 0
+        if args.checkpoint != "none":
+            state, initial_step = ckpt.restore(
+                args.checkpoint if args.checkpoint != "latest" else "latest", state)
+            if initial_step:
+                print(f"resumed from step {initial_step}", flush=True)
+
+        metrics_log = open(workspace / "metrics.jsonl", "a")
+        records = []
+        t_last = time.time()
+        batch = first
+        for step in range(initial_step, args.num_iterations):
+            for _ in range(args.gradient_accumulation_steps):
+                state, metrics = trainer.train_step(state, batch)
+                batch = to_device_batch(data_pipe.get())
+            records.append({k: float(v) for k, v in metrics.items()})
+
+            if step % args.log_every == 0 or step == initial_step:
+                avg = {k: float(np.mean([r[k] for r in records if k in r]))
+                       for k in records[-1]}
+                dt = time.time() - t_last
+                ips = len(records) / max(dt, 1e-9)
+                line = {"step": step, "it_per_s": round(ips, 3), **avg}
+                print(json.dumps({k: round(v, 5) if isinstance(v, float) else v
+                                  for k, v in line.items()}), flush=True)
+                metrics_log.write(json.dumps(line) + "\n")
+                metrics_log.flush()
+                if mlflow:
+                    try:
+                        mlflow.log_metrics(avg, step=step)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"mlflow error: {e}")
+                records, t_last = [], time.time()
+
+            if step % args.save_every == 0 and step > initial_step:
+                ckpt.save(step, state, config=config)
+
+        ckpt.save(args.num_iterations, state, config=config)
+        ckpt.wait()
+    data_pipe.stop()
+    print("training done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

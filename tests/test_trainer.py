@@ -70,7 +70,7 @@ def test_train_step_updates(trainer_state):
     trainer, state, batch = trainer_state
     dino_before = jax.tree.map(np.asarray, state.params["feature"]["dino"])
     head_before = np.asarray(
-        jax.tree.leaves(state.params["update_block"])[0])
+        jax.tree.leaves(state.params["refine"]["update_block"])[0])
 
     new_state, metrics = trainer.train_step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
@@ -83,11 +83,11 @@ def test_train_step_updates(trainer_state):
         np.testing.assert_array_equal(a, b)
 
     # Trainable params must move.
-    head_after = np.asarray(jax.tree.leaves(new_state.params["update_block"])[0])
+    head_after = np.asarray(jax.tree.leaves(new_state.params["refine"]["update_block"])[0])
     assert not np.array_equal(head_before, head_after)
 
     # EMA drifts toward params.
-    ema_leaf = np.asarray(jax.tree.leaves(new_state.ema_params["update_block"])[0])
+    ema_leaf = np.asarray(jax.tree.leaves(new_state.ema_params["refine"]["update_block"])[0])
     assert not np.array_equal(ema_leaf, head_after)
 
 
