@@ -167,15 +167,15 @@ class EdgeNeXt(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # Stem: 4x4/4 conv + LN.
-        x = Conv(DIMS[0], 4, 4, 0, use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        # Stem: 4x4/4 conv + LN (biased convs, matching timm's edgenext).
+        x = Conv(DIMS[0], 4, 4, 0, dtype=self.dtype, name="stem_conv")(x)
         x = LayerNorm2d(name="stem_norm")(x)
 
         feats = []
         for si in range(4):
             if si > 0:
                 x = LayerNorm2d(name=f"down{si}_norm")(x)
-                x = Conv(DIMS[si], 2, 2, 0, use_bias=False, dtype=self.dtype,
+                x = Conv(DIMS[si], 2, 2, 0, dtype=self.dtype,
                          name=f"down{si}_conv")(x)
             n_global = GLOBAL_BLOCKS[si]
             n_local = DEPTHS[si] - n_global
