@@ -16,6 +16,7 @@ forces fp32 here too: core/submodule.py:394, core/geometry.py:74).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,11 +30,23 @@ def group_normalize(feat: jnp.ndarray, num_groups: int, eps: float = 1e-12) -> j
     return x / jnp.maximum(norm, eps)
 
 
-def _band_gather_index(block: int, maxdisp: int, num_right_blocks: int) -> jnp.ndarray:
-    """(T, D) index into the (nr+1)*T right-window axis: j = nr*T + t - d."""
-    t = np.arange(block)[:, None]
-    d = np.arange(maxdisp)[None, :]
-    return jnp.asarray((num_right_blocks - 1) * block + t - d, dtype=jnp.int32)
+def _shifted_right(right: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (D,B,H,W,C) where out[d,...,w,:] = right[...,w-d,:] (0 if w<d).
+
+    Implemented as a lax.scan of dynamic width-slices over a zero-padded
+    buffer — TPU gathers on the width axis are pathologically slow, while
+    dynamic slices of contiguous rows are fast and the scan body compiles
+    once regardless of D.
+    """
+    b, h, w, c = right.shape
+    rp = jnp.pad(right, ((0, 0), (0, 0), (maxdisp, 0), (0, 0)))
+
+    def body(_, d):
+        sl = jax.lax.dynamic_slice_in_dim(rp, maxdisp - d, w, axis=2)
+        return None, sl
+
+    _, out = jax.lax.scan(body, None, jnp.arange(maxdisp))
+    return out  # (D,B,H,W,C)
 
 
 def build_gwc_volume(
@@ -41,7 +54,6 @@ def build_gwc_volume(
     right: jnp.ndarray,
     maxdisp: int,
     num_groups: int,
-    block: int = 128,
 ) -> jnp.ndarray:
     """Group-wise correlation volume.
 
@@ -49,50 +61,30 @@ def build_gwc_volume(
     identical semantics to ``build_gwc_volume`` (core/submodule.py:399-412)
     modulo layout (theirs: (B, G, D, H, W)).
 
+    The disparity sweep is a lax.scan whose body multiplies the normalized
+    left features with a width-shifted right slice and reduces per group —
+    no gathers, one compiled body. (A Pallas kernel that keeps feature tiles
+    in VMEM across the sweep is the SoL version of this op.)
+
     Args:
       left/right: (B, H, W, C) features.
-      maxdisp: D (disparity bins at this resolution).
-      num_groups: G.
-      block: width tile size for the banded matmul.
 
     Returns:
       (B, D, H, W, G) fp32 volume.
     """
     b, h, w, c = left.shape
-    t = min(block, w)
-    nb = -(-w // t)                      # ceil: number of width blocks
-    nr = max(1, -(-(maxdisp - 1) // t))  # right-context blocks (>=1)
-    wp = nb * t
-
-    ln = group_normalize(left, num_groups)    # (B,H,W,G,Cg)
-    rn = group_normalize(right, num_groups)
     cg = c // num_groups
+    ln = group_normalize(left, num_groups)    # (B,H,W,G,Cg) fp32
+    rn = group_normalize(right, num_groups)
+    rp = jnp.pad(rn.reshape(b, h, w, c), ((0, 0), (0, 0), (maxdisp, 0), (0, 0)))
 
-    pad_w = wp - w
-    ln = jnp.pad(ln, ((0, 0), (0, 0), (0, pad_w), (0, 0), (0, 0)))
-    # Right features need nr*T zero context on the left (w-d < 0 -> 0).
-    rn = jnp.pad(rn, ((0, 0), (0, 0), (nr * t, pad_w), (0, 0), (0, 0)))
+    def body(_, d):
+        sl = jax.lax.dynamic_slice_in_dim(rp, maxdisp - d, w, axis=2)
+        sl = sl.reshape(b, h, w, num_groups, cg)
+        return None, jnp.sum(ln * sl, axis=-1)  # (B,H,W,G)
 
-    lb = ln.reshape(b, h, nb, t, num_groups, cg)
-    rblk = rn.reshape(b, h, nb + nr, t, num_groups, cg)
-    # Window of nr+1 consecutive right blocks per left block.
-    rwin = jnp.concatenate(
-        [rblk[:, :, k : k + nb].reshape(b, h, nb, 1, t, num_groups, cg)
-         for k in range(nr + 1)],
-        axis=3,
-    )  # (B,H,nb,nr+1,T,G,Cg)
-    rwin = rwin.reshape(b, h, nb, (nr + 1) * t, num_groups, cg)
-
-    # Banded matmul on the MXU: contract Cg per (batch,row,block,group).
-    corr = jnp.einsum("bhntgc,bhnugc->bhngtu", lb, rwin,
-                      preferred_element_type=jnp.float32)  # (B,H,nb,G,T,U)
-
-    j = _band_gather_index(t, maxdisp, nr + 1)  # (T,D)
-    band = jnp.take_along_axis(
-        corr, j[None, None, None, None, :, :], axis=-1
-    )  # (B,H,nb,G,T,D)
-    vol = band.transpose(0, 5, 1, 2, 4, 3).reshape(b, maxdisp, h, wp, num_groups)
-    return vol[:, :, :, :w, :]
+    _, vol = jax.lax.scan(body, None, jnp.arange(maxdisp))
+    return vol.transpose(1, 0, 2, 3, 4)  # (B,D,H,W,G)
 
 
 def build_concat_volume(left: jnp.ndarray, right: jnp.ndarray, maxdisp: int) -> jnp.ndarray:
@@ -103,17 +95,7 @@ def build_concat_volume(left: jnp.ndarray, right: jnp.ndarray, maxdisp: int) -> 
     Returns (B, D, H, W, 2C) in the input dtype.
     """
     b, h, w, c = left.shape
-    wi = jnp.arange(w)[None, :]               # (1, W)
-    di = jnp.arange(maxdisp)[:, None]         # (D, 1)
-    idx = wi - di                             # (D, W)
-    valid = (idx >= 0)
-    idxc = jnp.clip(idx, 0, w - 1)
-    shifted = jnp.take_along_axis(
-        right[:, None],                       # (B,1,H,W,C)
-        idxc[None, :, None, :, None],         # (1,D,1,W,1)
-        axis=3,
-    )                                         # (B,D,H,W,C)
-    shifted = jnp.where(valid[None, :, None, :, None], shifted, jnp.zeros_like(shifted))
+    shifted = _shifted_right(right, maxdisp).transpose(1, 0, 2, 3, 4)  # (B,D,H,W,C)
     left_b = jnp.broadcast_to(left[:, None], (b, maxdisp, h, w, c))
     return jnp.concatenate([left_b, shifted], axis=-1)
 

@@ -2,18 +2,33 @@
 
 The reference samples its filtered cost volume and all-pairs correlation with
 ``F.grid_sample`` over degenerate (H==1) grids (core/utils/utils.py:44-55,
-core/geometry.py:43-65). On TPU a general 2D grid_sample is wasteful — the
-access pattern is a pure 1D gather + lerp along the disparity/width axis, so we
-implement exactly that: per-pixel fractional coordinates, two taps, zero for
-out-of-range taps (torch ``padding_mode='zeros'`` with ``align_corners=True``
-over pixel coordinates is an identity mapping, so no renormalization needed).
+core/geometry.py:43-65). On TPU a general grid_sample — or any per-element
+gather along a minor axis — is pathologically slow, so the lookup is
+expressed gather-free as a **tent-weight contraction**:
 
-Differentiable w.r.t. both the volume and the coordinates.
+    sample(vol, x) = sum_d vol[d] * max(0, 1 - |x - d|)
+
+The tent kernel reproduces bilinear interpolation with zero padding exactly
+(out-of-range taps contribute nothing, matching torch padding_mode='zeros'
+with align_corners=True over pixel coordinates), turns the lookup into a
+dense einsum that XLA fuses onto the vector/matrix units, and is trivially
+differentiable w.r.t. both the volume and the coordinates.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def tent_weights(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Bilinear interpolation weights as a dense (..., length, K) tensor.
+
+    x: (..., K) fractional sample positions. weight[..., d, k] =
+    max(0, 1 - |x_k - d|): exactly the two-tap lerp with zero out-of-range.
+    """
+    d = jnp.arange(length, dtype=x.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None, :] - d[:, None]))
 
 
 def gather_1d_lerp(vol: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -25,25 +40,12 @@ def gather_1d_lerp(vol: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
            leading axes must broadcast against ``vol``'s leading axes.
 
     Returns:
-      broadcast(..., K) sampled values; taps outside [0, L-1] contribute zero
-      (matching grid_sample's zero padding_mode).
+      broadcast(..., K) sampled values; positions outside [0, L-1] blend
+      with zero (grid_sample zero padding_mode semantics).
     """
     L = vol.shape[-1]
-    lead = jnp.broadcast_shapes(vol.shape[:-1], x.shape[:-1])
-    vol = jnp.broadcast_to(vol, lead + vol.shape[-1:])
-    x = jnp.broadcast_to(x, lead + x.shape[-1:])
-
-    x0f = jnp.floor(x)
-    w1 = (x - x0f).astype(vol.dtype)
-    x0 = x0f.astype(jnp.int32)
-
-    def tap(idx):
-        valid = (idx >= 0) & (idx <= L - 1)
-        idxc = jnp.clip(idx, 0, L - 1)
-        v = jnp.take_along_axis(vol, idxc, axis=-1)
-        return jnp.where(valid, v, jnp.zeros_like(v))
-
-    return tap(x0) * (1.0 - w1) + tap(x0 + 1) * w1
+    w = tent_weights(x.astype(jnp.float32), L).astype(vol.dtype)  # (..., L, K)
+    return jnp.einsum("...l,...lk->...k", vol, w)
 
 
 def disparity_lookup(
@@ -55,7 +57,9 @@ def disparity_lookup(
     """Gather geometry-encoding + all-pairs-correlation features at ``disp``.
 
     TPU-native equivalent of ``Combined_Geo_Encoding_Volume.__call__``
-    (core/geometry.py:43-65), channel-last.
+    (core/geometry.py:43-65), channel-last and gather-free: per level, one
+    tent-weight tensor (B,H,W,D_l,K) contracts both the C-channel filtered
+    volume and the 1-channel correlation.
 
     Args:
       geo_pyramid: list over levels of (B, H, W, C, D_l) filtered-volume
@@ -72,23 +76,24 @@ def disparity_lookup(
     """
     num_levels = len(geo_pyramid)
     b, h, w = disp.shape
-    dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)  # (2r+1,)
+    dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)  # (K,)
     coords = jnp.arange(w, dtype=jnp.float32)[None, None, :]  # (1,1,W) left-x
     disp = disp.astype(jnp.float32)
 
     out = []
     for i in range(num_levels):
         scale = 1.0 / (2.0 ** i)
-        # Volume lookup: positions disp/2^i + dx along the disparity axis.
-        x_geo = disp[..., None] * scale + dx            # (B,H,W,K)
-        g = gather_1d_lerp(geo_pyramid[i], x_geo[..., None, :])  # (B,H,W,C,K)
-        g = g.reshape(b, h, w, -1)
-        # Correlation lookup: right-image x = (x_left - disp)/2^i + dx.
-        x_corr = (coords - disp) * scale
-        x_corr = x_corr[..., None] + dx                 # (B,H,W,K)
-        c = gather_1d_lerp(corr_pyramid[i], x_corr)
-        out.append(g.astype(jnp.float32))
-        out.append(c.astype(jnp.float32))
+        geo = geo_pyramid[i]          # (B,H,W,C,D)
+        corr = corr_pyramid[i]        # (B,H,W,W2)
+        # Volume lookup at disp/2^i + dx.
+        wg = tent_weights(disp[..., None] * scale + dx, geo.shape[-1])  # (B,H,W,D,K)
+        g = jnp.einsum("bhwcd,bhwdk->bhwck", geo.astype(jnp.float32), wg)
+        out.append(g.reshape(b, h, w, -1))
+        # Correlation lookup at (x_left - disp)/2^i + dx.
+        xc = (coords - disp) * scale
+        wc = tent_weights(xc[..., None] + dx, corr.shape[-1])           # (B,H,W,W2,K)
+        c = jnp.einsum("bhwd,bhwdk->bhwk", corr.astype(jnp.float32), wc)
+        out.append(c)
     return jnp.concatenate(out, axis=-1)
 
 

@@ -107,14 +107,14 @@ def _torch_gwc_volume(l, r, maxdisp, groups):
     return vol
 
 
-@pytest.mark.parametrize("w,maxdisp,block", [(40, 12, 16), (40, 12, 128), (37, 20, 8), (64, 48, 32)])
-def test_build_gwc_volume_matches_torch(rng, w, maxdisp, block):
+@pytest.mark.parametrize("w,maxdisp", [(40, 12), (37, 20), (64, 48)])
+def test_build_gwc_volume_matches_torch(rng, w, maxdisp):
     b, h, c, g = 2, 6, 16, 4
     l = rng.standard_normal((b, h, w, c)).astype(np.float32)
     r = rng.standard_normal((b, h, w, c)).astype(np.float32)
     ref = _torch_gwc_volume(torch.from_numpy(to_nchw(l)), torch.from_numpy(to_nchw(r)),
                             maxdisp, g).numpy()  # (B,G,D,H,W)
-    got = np.asarray(build_gwc_volume(jnp.asarray(l), jnp.asarray(r), maxdisp, g, block=block))
+    got = np.asarray(build_gwc_volume(jnp.asarray(l), jnp.asarray(r), maxdisp, g))
     # ours: (B,D,H,W,G)
     np.testing.assert_allclose(got, ref.transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=1e-5)
 
