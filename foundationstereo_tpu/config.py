@@ -37,6 +37,7 @@ class ModelConfig:
     volume_dim: int = 28          # filtered cost-volume channels (hard-coded upstream)
     train_iters: int = 22         # GRU iterations during training
     valid_iters: int = 32         # GRU iterations during inference
+    use_pallas: bool = True       # Pallas kernels on the TPU inference path
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":

@@ -46,6 +46,10 @@ from foundationstereo_tpu.ops.cost_volume import (
     build_concat_volume,
     build_gwc_volume,
 )
+from foundationstereo_tpu.ops.pallas_kernels import (
+    build_cost_volume_pallas,
+    disparity_lookup_pallas,
+)
 from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
 from foundationstereo_tpu.ops.upsample import context_upsample, disparity_regression
 from foundationstereo_tpu.parallel.sharding import shard_batch, shard_spatial
@@ -60,6 +64,18 @@ def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
     mean = jnp.asarray(IMAGENET_MEAN)
     std = jnp.asarray(IMAGENET_STD)
     return (img.astype(jnp.float32) / 255.0 - mean) / std
+
+
+def _pallas_enabled(cfg: ModelConfig, train: bool) -> bool:
+    """Use the Pallas kernels on the single-chip TPU inference path (the
+    training and multi-chip paths stay on the partitionable, differentiable
+    XLA formulations)."""
+    from foundationstereo_tpu.parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    multi_chip = mesh is not None and mesh.devices.size > 1
+    return (cfg.use_pallas and not train and not multi_chip
+            and jax.default_backend() == "tpu")
 
 
 class _RefineStep(nn.Module):
@@ -81,7 +97,9 @@ class _RefineStep(nn.Module):
         dt = self.dtype_
         net_list, disp, _ = carry
         disp = jax.lax.stop_gradient(disp)
-        geo_feat = disparity_lookup(
+        lookup = (disparity_lookup_pallas if _pallas_enabled(cfg, self.train)
+                  else disparity_lookup)
+        geo_feat = lookup(
             list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
             disp, cfg.corr_radius)
         update = BasicSelectiveMultiUpdateBlock(
@@ -138,10 +156,16 @@ class FoundationStereo(nn.Module):
         # filtering below and inserts halo exchanges over ICI.
         features_left = [shard_batch(f) for f in features_left]
         features_right = [shard_batch(f) for f in features_right]
-        gwc = build_gwc_volume(features_left[0], features_right[0], D, cfg.cv_group)
         proj = Conv(12, 1, 1, 0, dtype=dt, name="proj_cmb")
-        concat_vol = build_concat_volume(proj(features_left[0]), proj(features_right[0]), D)
-        comb = jnp.concatenate([gwc.astype(dt), concat_vol.astype(dt)], axis=-1)
+        lproj, rproj = proj(features_left[0]), proj(features_right[0])
+        if _pallas_enabled(cfg, train):
+            comb = build_cost_volume_pallas(
+                features_left[0], features_right[0], lproj, rproj, D,
+                cfg.cv_group).astype(dt)
+        else:
+            gwc = build_gwc_volume(features_left[0], features_right[0], D, cfg.cv_group)
+            concat_vol = build_concat_volume(lproj, rproj, D)
+            comb = jnp.concatenate([gwc.astype(dt), concat_vol.astype(dt)], axis=-1)
         comb = shard_spatial(comb, w_axis=3)
 
         comb = CorrStem(cfg.volume_dim, dtype=dt, name="corr_stem")(comb, train)

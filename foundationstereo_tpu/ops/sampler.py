@@ -45,7 +45,10 @@ def gather_1d_lerp(vol: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """
     L = vol.shape[-1]
     w = tent_weights(x.astype(jnp.float32), L).astype(vol.dtype)  # (..., L, K)
-    return jnp.einsum("...l,...lk->...k", vol, w)
+    # Broadcast-multiply-reduce (NOT einsum/dot_general: XLA would pad these
+    # tiny batched matmuls to full MXU tiles). This fuses into one VPU pass
+    # that reads `vol` once and keeps the tent weights unmaterialized.
+    return jnp.sum(vol[..., :, None] * w, axis=-2)
 
 
 def disparity_lookup(
@@ -85,14 +88,16 @@ def disparity_lookup(
         scale = 1.0 / (2.0 ** i)
         geo = geo_pyramid[i]          # (B,H,W,C,D)
         corr = corr_pyramid[i]        # (B,H,W,W2)
-        # Volume lookup at disp/2^i + dx.
+        # Volume lookup at disp/2^i + dx. One fused VPU pass per level:
+        # the (B,H,W,D,K) tent tensor stays fused into the reduction.
         wg = tent_weights(disp[..., None] * scale + dx, geo.shape[-1])  # (B,H,W,D,K)
-        g = jnp.einsum("bhwcd,bhwdk->bhwck", geo.astype(jnp.float32), wg)
+        g = jnp.sum(geo.astype(jnp.float32)[..., :, :, None]            # (B,H,W,C,D,1)
+                    * wg[..., None, :, :], axis=-2)                     # -> (B,H,W,C,K)
         out.append(g.reshape(b, h, w, -1))
         # Correlation lookup at (x_left - disp)/2^i + dx.
         xc = (coords - disp) * scale
         wc = tent_weights(xc[..., None] + dx, corr.shape[-1])           # (B,H,W,W2,K)
-        c = jnp.einsum("bhwd,bhwdk->bhwk", corr.astype(jnp.float32), wc)
+        c = jnp.sum(corr.astype(jnp.float32)[..., :, None] * wc, axis=-2)
         out.append(c)
     return jnp.concatenate(out, axis=-1)
 

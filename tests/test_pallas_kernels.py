@@ -1,0 +1,40 @@
+"""Pallas kernels (interpret mode on CPU) vs the XLA reference ops."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from foundationstereo_tpu.ops.cost_volume import build_concat_volume, build_gwc_volume
+from foundationstereo_tpu.ops.pallas_kernels import (
+    build_cost_volume_pallas,
+    disparity_lookup_pallas,
+)
+from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
+
+
+def test_lookup_kernel_matches_xla(rng):
+    b, h, w, c, d, levels, radius = 1, 4, 32, 6, 16, 3, 3
+    geo = jnp.asarray(rng.standard_normal((b, h, w, c, d)).astype(np.float32))
+    corr = jnp.asarray(rng.standard_normal((b, h, w, w)).astype(np.float32))
+    disp = jnp.asarray(rng.uniform(-2, d + 2, (b, h, w)).astype(np.float32))
+    gp = pool_last_axis(geo, levels - 1)
+    cp = pool_last_axis(corr, levels - 1)
+
+    ref = np.asarray(disparity_lookup(gp, cp, disp, radius))
+    got = np.asarray(disparity_lookup_pallas(gp, cp, disp, radius, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cost_volume_kernel_matches_xla(rng):
+    b, h, w, c, p, d, g = 1, 3, 24, 16, 4, 10, 4
+    l = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    lp = jnp.asarray(rng.standard_normal((b, h, w, p)).astype(np.float32))
+    rp = jnp.asarray(rng.standard_normal((b, h, w, p)).astype(np.float32))
+
+    gwc = build_gwc_volume(l, r, d, g)
+    cat = build_concat_volume(lp, rp, d)
+    ref = np.asarray(jnp.concatenate([gwc, cat], axis=-1))
+    got = np.asarray(build_cost_volume_pallas(l, r, lp, rp, d, g, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
