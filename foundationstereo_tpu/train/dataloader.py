@@ -29,6 +29,7 @@ from typing import Any, Dict, List
 import numpy as np
 from PIL import Image
 
+from foundationstereo_tpu import native
 from foundationstereo_tpu.utils.misc import depth_uint8_decoding, get_resize_keep_aspect_ratio
 
 
@@ -38,13 +39,18 @@ from foundationstereo_tpu.utils.misc import depth_uint8_decoding, get_resize_kee
 
 
 def _resize(img: np.ndarray, wh: tuple[int, int], nearest: bool = False) -> np.ndarray:
-    """Resize HxW(xC) array with PIL (bilinear) or numpy nearest indexing."""
+    """Resize HxW(xC) array: native C++ kernels when built, else PIL/numpy."""
     w, h = wh
     if nearest:
+        if native.available():
+            out = native.resize_nearest(img.astype(np.float32), wh)
+            return out.astype(img.dtype) if img.dtype != np.float32 else out
         H, W = img.shape[:2]
         ys = np.minimum((np.arange(h) * H / h).astype(np.int64), H - 1)
         xs = np.minimum((np.arange(w) * W / w).astype(np.int64), W - 1)
         return img[ys][:, xs]
+    if native.available():
+        return native.resize_bilinear(img.astype(np.float32), wh)
     pil = Image.fromarray(img.astype(np.uint8) if img.dtype != np.uint8 else img)
     return np.asarray(pil.resize((w, h), Image.BILINEAR))
 
@@ -245,7 +251,10 @@ class StereoTrainDataLoaderPipeline:
             right = np.asarray(Image.open(root / "right" / "rgb" / f"{fn}.jpg").convert("RGB"))
             disp_u8 = np.asarray(Image.open(root / "left" / "disparity" / f"{fn}.png"))
             if disp_u8.ndim == 3:
-                disparity = depth_uint8_decoding(disp_u8).astype(np.float32)
+                if native.available():
+                    disparity = native.decode_disparity(disp_u8)
+                else:
+                    disparity = depth_uint8_decoding(disp_u8).astype(np.float32)
             else:
                 disparity = disp_u8.astype(np.float32)
             mask = disparity > 0
@@ -351,7 +360,11 @@ class StereoTrainDataLoaderPipeline:
                 tx = rng.uniform(-2.0, 2.0)
                 ty = rng.uniform(-1.0, 1.0)
                 angle = rng.uniform(-0.5, 0.5)
-                right = warp_affine_reflect(right, tx, ty, angle)
+                if native.available():
+                    right = native.warp_affine_reflect(
+                        right.astype(np.float32), tx, ty, angle).astype(np.float64)
+                else:
+                    right = warp_affine_reflect(right, tx, ty, angle)
 
         # 5. disparity stretching
         if "disparity_stretching" in aug and rng.choice([True, False], p=[0.5, 0.5]):
