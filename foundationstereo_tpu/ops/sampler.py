@@ -79,25 +79,38 @@ def disparity_lookup(
     """
     num_levels = len(geo_pyramid)
     b, h, w = disp.shape
-    dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)  # (K,)
     coords = jnp.arange(w, dtype=jnp.float32)[None, None, :]  # (1,1,W) left-x
     disp = disp.astype(jnp.float32)
+
+    r = radius
+    K = 2 * r + 1
+
+    def level_lookup(vol, x):
+        """vol (..., D), x (...,) base positions -> (..., K) tap samples.
+
+        Per-tap static shifts of one extended tent row: tap k's weights are
+        Text[d + r - k], so each tap is a fused multiply-reduce over D with
+        no >5D intermediate (keeps XLA from materializing a (…, D, K) or
+        (…, C, D, K) tensor).
+        """
+        D = vol.shape[-1]
+        dgrid = jnp.arange(-r, D + r, dtype=jnp.float32)        # (D+2r,)
+        text = jnp.maximum(0.0, 1.0 - jnp.abs(x[..., None] - dgrid))
+        volf = vol.astype(jnp.float32)
+        taps = []
+        for k in range(-r, r + 1):
+            t_k = jax.lax.slice_in_dim(text, r - k, r - k + D, axis=-1)
+            taps.append(jnp.sum(volf * t_k, axis=-1))
+        return jnp.stack(taps, axis=-1)                          # (..., K)
 
     out = []
     for i in range(num_levels):
         scale = 1.0 / (2.0 ** i)
         geo = geo_pyramid[i]          # (B,H,W,C,D)
         corr = corr_pyramid[i]        # (B,H,W,W2)
-        # Volume lookup at disp/2^i + dx. One fused VPU pass per level:
-        # the (B,H,W,D,K) tent tensor stays fused into the reduction.
-        wg = tent_weights(disp[..., None] * scale + dx, geo.shape[-1])  # (B,H,W,D,K)
-        g = jnp.sum(geo.astype(jnp.float32)[..., :, :, None]            # (B,H,W,C,D,1)
-                    * wg[..., None, :, :], axis=-2)                     # -> (B,H,W,C,K)
+        g = level_lookup(geo, (disp * scale)[..., None])         # (B,H,W,C,K)
         out.append(g.reshape(b, h, w, -1))
-        # Correlation lookup at (x_left - disp)/2^i + dx.
-        xc = (coords - disp) * scale
-        wc = tent_weights(xc[..., None] + dx, corr.shape[-1])           # (B,H,W,W2,K)
-        c = jnp.sum(corr.astype(jnp.float32)[..., :, None] * wc, axis=-2)
+        c = level_lookup(corr, (coords - disp) * scale)          # (B,H,W,K)
         out.append(c)
     return jnp.concatenate(out, axis=-1)
 
