@@ -232,15 +232,20 @@ class FoundationStereo(nn.Module):
         spx_2_gru = Conv2x(32, deconv=True, bn=False, dtype=dt, name="spx_2_gru")
         spx_gru = ConvTranspose(9, 4, 2, 1, dtype=dt, name="spx_gru")
 
-        def upsample_disp(disp_, mask_feat_):
-            xspx = spx_2_gru(mask_feat_, stem_2x, train)
+        def upsample_disp(disp_, mask_feat_, stem_):
+            xspx = spx_2_gru(mask_feat_, stem_, train)
             spx_pred = jax.nn.softmax(spx_gru(xspx).astype(jnp.float32), axis=-1)
             return context_upsample(disp_ * 4.0, spx_pred).astype(jnp.float32)
 
         if test_mode:
-            return upsample_disp(disp, mask_feat)
-        # Train mode: upsample every iteration's disparity (scan stacked them).
+            return upsample_disp(disp, mask_feat, stem_2x)
+        # Train mode: upsample every iteration's disparity. The scan stacked
+        # them; fold the iteration axis into the batch so the upsample heads
+        # run once over (iters*B, ...) instead of `iters` separate programs.
         disp_stack, mask_stack = ys  # (iters, B, h4, w4), (iters, B, h4, w4, 32)
-        disp_preds = [upsample_disp(disp_stack[i], mask_stack[i])
-                      for i in range(iters)]
+        up = upsample_disp(disp_stack.reshape(iters * B4, h4, w4),
+                           mask_stack.reshape(iters * B4, h4, w4, 32),
+                           jnp.tile(stem_2x, (iters, 1, 1, 1)))
+        up = up.reshape(iters, B4, H, W)
+        disp_preds = [up[i] for i in range(iters)]
         return init_disp, disp_preds
