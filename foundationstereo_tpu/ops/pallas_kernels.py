@@ -34,14 +34,14 @@ from foundationstereo_tpu.ops.cost_volume import group_normalize
 
 
 def _lookup_row_kernel(disp_ref, vol_ref, out_ref, *, radius: int, scale: float):
-    """One image row: vol (1, W, C, D), disp (1, W) -> out (1, W, C, K)."""
+    """One image row: vol (1, W, C, D), disp (1, 1, W) -> out (1, W, C, K)."""
     W, C, D = vol_ref.shape[1], vol_ref.shape[2], vol_ref.shape[3]
     r = radius
     K = 2 * r + 1
-    x = disp_ref[0, :].astype(jnp.float32) * scale        # (W,)
+    x = disp_ref[0, 0, :].astype(jnp.float32) * scale     # (W,)
 
     # Extended tent row: Text[w, j] = relu(1 - |x[w] - (j - r)|), j in [0, D+2r)
-    j = jax.lax.broadcasted_iota(jnp.float32, (W, D + 2 * r), 1) - float(r)
+    j = jax.lax.broadcasted_iota(jnp.int32, (W, D + 2 * r), 1).astype(jnp.float32) - float(r)
     text = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - j))  # (W, D+2r)
 
     vol = vol_ref[0].astype(jnp.float32)                   # (W, C, D)
@@ -57,11 +57,12 @@ def lookup_level_pallas(vol: jnp.ndarray, disp: jnp.ndarray, radius: int,
     R, W, C, D = vol.shape
     K = 2 * radius + 1
     kernel = functools.partial(_lookup_row_kernel, radius=radius, scale=scale)
+    disp = disp.reshape(R, 1, W)  # trailing (1, W) satisfies block tiling rules
     return pl.pallas_call(
         kernel,
         grid=(R,),
         in_specs=[
-            pl.BlockSpec((1, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W, C, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, W, C, K), lambda i: (i, 0, 0, 0),
@@ -104,33 +105,34 @@ def disparity_lookup_pallas(geo_pyramid, corr_pyramid, disp, radius: int,
 # ---------------------------------------------------------------------------
 
 
-def _cost_volume_row_kernel(ln_ref, rn_ref, lp_ref, rp_ref, out_ref, *,
-                            maxdisp: int, num_groups: int):
+def _cost_volume_row_kernel(ln_ref, rn_ref, lp_ref, rp_ref, out_ref,
+                            rn_pad, rp_pad, *, maxdisp: int, num_groups: int):
     """One image row.
 
     ln/rn: (1, W, C) L2-group-normalized features; lp/rp: (1, W, P) projected
     12-ch features. out: (1, D, W, G + 2P) fp32 — [gwc | left-proj | right-
     proj-shifted] matching the reference's channel concatenation.
+    rn_pad/rp_pad: (W + D, C/P) VMEM scratch holding zero-padded right rows
+    (the shift w-d < 0 -> 0 comes from slicing into the zero prefix).
     """
-    W, C = ln_ref.shape[1], ln_ref.shape[2]
+    W, G, cg = ln_ref.shape[1], ln_ref.shape[2], ln_ref.shape[3]
     P = lp_ref.shape[2]
-    G = num_groups
-    cg = C // G
 
-    ln = ln_ref[0].astype(jnp.float32).reshape(W, G, cg)
-    lp = lp_ref[0].astype(jnp.float32)
+    ln = ln_ref[0].astype(jnp.float32)          # (W, G, cg)
+    lp = lp_ref[0].astype(jnp.float32)          # (W, P)
 
-    # Zero-padded right rows for the disparity shift (w - d < 0 -> 0).
-    rn_pad = jnp.pad(rn_ref[0].astype(jnp.float32), ((maxdisp, 0), (0, 0)))
-    rp_pad = jnp.pad(rp_ref[0].astype(jnp.float32), ((maxdisp, 0), (0, 0)))
+    rn_pad[0:maxdisp] = jnp.zeros((maxdisp, G, cg), jnp.float32)
+    rn_pad[maxdisp:] = rn_ref[0].astype(jnp.float32)
+    rp_pad[0:maxdisp] = jnp.zeros((maxdisp, P), jnp.float32)
+    rp_pad[maxdisp:] = rp_ref[0].astype(jnp.float32)
 
-    def body(d, _):
-        rshift = jax.lax.dynamic_slice_in_dim(rn_pad, maxdisp - d, W, axis=0)
-        gwc = jnp.sum(ln * rshift.reshape(W, G, cg), axis=-1)      # (W, G)
-        rpshift = jax.lax.dynamic_slice_in_dim(rp_pad, maxdisp - d, W, axis=0)
+    def body(d, carry):
+        rshift = rn_pad[pl.ds(maxdisp - d, W)]                     # (W, G, cg)
+        gwc = jnp.sum(ln * rshift, axis=-1)                        # (W, G)
+        rpshift = rp_pad[pl.ds(maxdisp - d, W)]                    # (W, P)
         row = jnp.concatenate([gwc, lp, rpshift], axis=-1)         # (W, G+2P)
-        out_ref[0, d, :, :] = row
-        return _
+        out_ref[0, pl.ds(d, 1), :, :] = row[None]
+        return carry
 
     jax.lax.fori_loop(0, maxdisp, body, None)
 
@@ -145,8 +147,11 @@ def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     b, h, w, c = left.shape
     p = left_proj.shape[-1]
     g = num_groups
-    ln = group_normalize(left, g).reshape(b * h, w, c)
-    rn = group_normalize(right, g).reshape(b * h, w, c)
+    cg = c // g
+    # Group-shaped (…, G, cg) inputs: Mosaic cannot split a minor dim
+    # in-kernel, so the reshape happens here.
+    ln = group_normalize(left, g).reshape(b * h, w, g, cg)
+    rn = group_normalize(right, g).reshape(b * h, w, g, cg)
     lp = left_proj.reshape(b * h, w, p).astype(jnp.float32)
     rp = right_proj.reshape(b * h, w, p).astype(jnp.float32)
 
@@ -156,14 +161,18 @@ def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
         kernel,
         grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, g, cg), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, g, cg), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, maxdisp, w, g + 2 * p), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, maxdisp, w, g + 2 * p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((w + maxdisp, g, cg), jnp.float32),
+            pltpu.VMEM((w + maxdisp, p), jnp.float32),
+        ],
         interpret=interpret,
     )(ln, rn, lp, rp)
     return out.reshape(b, h, maxdisp, w, g + 2 * p).transpose(0, 2, 1, 3, 4)

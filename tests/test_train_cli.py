@@ -1,0 +1,91 @@
+"""End-to-end training CLI smoke test (reference scripts/test_training.py
+analog): synthetic dataset on disk -> scripts/train.py for a few steps ->
+finite losses, checkpoint written, resume works."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from foundationstereo_tpu.utils.misc import depth_uint8_encoding
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture
+def train_setup(tmp_path, rng):
+    data = tmp_path / "data"
+    for sub in ("left/rgb", "right/rgb", "left/disparity"):
+        (data / sub).mkdir(parents=True)
+    for i in range(4):
+        img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        Image.fromarray(img).save(data / "left/rgb" / f"{i}.jpg")
+        Image.fromarray(np.roll(img, -2, 1)).save(data / "right/rgb" / f"{i}.jpg")
+        disp = rng.uniform(1, 30, (64, 96)).astype(np.float32)
+        Image.fromarray(depth_uint8_encoding(disp)).save(
+            data / "left/disparity" / f"{i}.png")
+
+    config = {
+        "model": {"max_disp": 64, "vit_size": "vits", "mixed_precision": False,
+                  "train_iters": 1, "valid_iters": 1},
+        "data": {
+            "datasets": [{"name": "syn", "path": str(data), "weight": 1.0,
+                          "label_type": "stereo",
+                          "image_augmentation": ["jittering"]}],
+            "image_sizes": [[96, 64]],
+            "max_disparity": 64,
+            "image_augmentation": ["jittering"],
+            "stereo_augmentation": True,
+        },
+        "loss": {
+            "stereo": {"main": {"function": "foundation_stereo_loss", "weight": 1.0,
+                                "params": {"gamma": 0.9, "max_disparity": 64.0}}},
+            "invalid": {"dummy": {"function": "disparity_l1_loss", "weight": 0.0,
+                                  "params": {"max_disparity": 64.0}}},
+        },
+        "optimizer": {"type": "AdamW", "params": [
+            {"params": {"include": ["*"], "exclude": []}, "lr": 1e-4,
+             "weight_decay": 1e-4}]},
+        "lr_scheduler": {"type": "LambdaLR",
+                         "params": {"lr_lambda": "Piecewise((1.0, epoch < 100), (0.1, True))"}},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(config))
+    return tmp_path, cfg_path
+
+
+def _run_train(tmp_path, cfg_path, steps, ckpt="none"):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    return subprocess.run(
+        [sys.executable, str(REPO / "scripts/train.py"),
+         "--config", str(cfg_path), "--workspace", str(tmp_path / "ws"),
+         "--num_iterations", str(steps), "--batch_size", "2",
+         "--save_every", "2", "--log_every", "1", "--checkpoint", ckpt,
+         "--n_devices", "2"],
+        capture_output=True, text=True, timeout=1200, env=env)
+
+
+@pytest.mark.slow
+def test_train_cli_runs_and_resumes(train_setup):
+    tmp_path, cfg_path = train_setup
+    res = _run_train(tmp_path, cfg_path, steps=3)
+    assert res.returncode == 0, res.stderr[-3000:]
+    lines = [json.loads(l) for l in res.stdout.splitlines()
+             if l.startswith("{") and "step" in l]
+    assert lines and all(np.isfinite(l["loss"]) for l in lines)
+    metrics_file = tmp_path / "ws" / "metrics.jsonl"
+    assert metrics_file.exists()
+    ckpts = tmp_path / "ws" / "checkpoints"
+    assert any(ckpts.iterdir())
+
+    # Resume from latest and run a couple more steps.
+    res2 = _run_train(tmp_path, cfg_path, steps=5, ckpt="latest")
+    assert res2.returncode == 0, res2.stderr[-3000:]
+    assert "resumed from step" in res2.stdout
