@@ -48,7 +48,8 @@ from foundationstereo_tpu.ops.cost_volume import (
 )
 from foundationstereo_tpu.ops.pallas_kernels import (
     build_cost_volume_pallas,
-    disparity_lookup_pallas,
+    disparity_lookup_pallas_pre,
+    to_kernel_layout,
 )
 from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
 from foundationstereo_tpu.ops.upsample import context_upsample, disparity_regression
@@ -89,6 +90,7 @@ class _RefineStep(nn.Module):
     cfg: ModelConfig
     collect: bool
     train: bool
+    pallas: bool
     dtype_: Any
 
     @nn.compact
@@ -97,8 +99,7 @@ class _RefineStep(nn.Module):
         dt = self.dtype_
         net_list, disp, _ = carry
         disp = jax.lax.stop_gradient(disp)
-        lookup = (disparity_lookup_pallas if _pallas_enabled(cfg, self.train)
-                  else disparity_lookup)
+        lookup = disparity_lookup_pallas_pre if self.pallas else disparity_lookup
         geo_feat = lookup(
             list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
             disp, cfg.corr_radius)
@@ -196,6 +197,10 @@ class FoundationStereo(nn.Module):
         corr_base = all_pairs_correlation(features_left[0], features_right[0])
         geo_pyramid = pool_last_axis(geo_base, cfg.corr_levels - 1)
         corr_pyramid = pool_last_axis(corr_base, cfg.corr_levels - 1)
+        use_pallas_lookup = _pallas_enabled(cfg, train)
+        if use_pallas_lookup:
+            # Kernel layout (width on lanes), computed once outside the scan.
+            geo_pyramid, corr_pyramid = to_kernel_layout(geo_pyramid, corr_pyramid)
 
         # --- Iterative refinement (single-trace lax.scan over iterations) ----
         # The step is traced/compiled once regardless of `iters` (vs the
@@ -211,7 +216,8 @@ class FoundationStereo(nn.Module):
             in_axes=(nn.broadcast,),
             out_axes=0,
             length=iters,
-        )(cfg=cfg, collect=not test_mode, train=train, dtype_=dt, name="refine")
+        )(cfg=cfg, collect=not test_mode, train=train,
+          pallas=use_pallas_lookup, dtype_=dt, name="refine")
 
         B4 = init_disp.shape[0]
         h4, w4 = init_disp.shape[1], init_disp.shape[2]

@@ -34,27 +34,30 @@ from foundationstereo_tpu.ops.cost_volume import group_normalize
 
 
 def _lookup_row_kernel(disp_ref, vol_ref, out_ref, *, radius: int, scale: float):
-    """One image row: vol (1, W, C, D), disp (1, 1, W) -> out (1, W, C, K)."""
-    W, C, D = vol_ref.shape[1], vol_ref.shape[2], vol_ref.shape[3]
+    """One image row, width on the lane (minor) axis.
+
+    vol (1, C, D, W), disp (1, 1, W) -> out (1, C, K, W). K lives on
+    sublanes so nothing pads to 128 lanes.
+    """
+    C, D, W = vol_ref.shape[1], vol_ref.shape[2], vol_ref.shape[3]
     r = radius
-    K = 2 * r + 1
+
     x = disp_ref[0, 0, :].astype(jnp.float32) * scale     # (W,)
+    # Extended tent: Text[j, w] = relu(1 - |x[w] - (j - r)|), j in [0, D+2r)
+    j = jax.lax.broadcasted_iota(jnp.int32, (D + 2 * r, W), 0).astype(jnp.float32) - float(r)
+    text = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - j))  # (D+2r, W)
 
-    # Extended tent row: Text[w, j] = relu(1 - |x[w] - (j - r)|), j in [0, D+2r)
-    j = jax.lax.broadcasted_iota(jnp.int32, (W, D + 2 * r), 1).astype(jnp.float32) - float(r)
-    text = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - j))  # (W, D+2r)
-
-    vol = vol_ref[0].astype(jnp.float32)                   # (W, C, D)
+    vol = vol_ref[0].astype(jnp.float32)                   # (C, D, W)
     for k in range(-r, r + 1):
-        t_k = text[:, r - k : r - k + D]                   # (W, D)
-        acc = jnp.sum(vol * t_k[:, None, :], axis=-1)      # (W, C)
-        out_ref[0, :, :, k + r] = acc
+        t_k = text[r - k : r - k + D, :]                   # (D, W)
+        acc = jnp.sum(vol * t_k[None, :, :], axis=1)       # (C, W)
+        out_ref[0, :, k + r, :] = acc
 
 
 def lookup_level_pallas(vol: jnp.ndarray, disp: jnp.ndarray, radius: int,
                         scale: float, interpret: bool = False) -> jnp.ndarray:
-    """Sample ``vol`` (R, W, C, D) at disp*scale + [-r..r] -> (R, W, C, K)."""
-    R, W, C, D = vol.shape
+    """Sample ``vol`` (R, C, D, W) at disp*scale + [-r..r] -> (R, C, K, W)."""
+    R, C, D, W = vol.shape
     K = 2 * radius + 1
     kernel = functools.partial(_lookup_row_kernel, radius=radius, scale=scale)
     disp = disp.reshape(R, 1, W)  # trailing (1, W) satisfies block tiling rules
@@ -63,41 +66,58 @@ def lookup_level_pallas(vol: jnp.ndarray, disp: jnp.ndarray, radius: int,
         grid=(R,),
         in_specs=[
             pl.BlockSpec((1, 1, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, C, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, D, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, W, C, K), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, C, K, W), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, W, C, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, C, K, W), jnp.float32),
         interpret=interpret,
     )(disp, vol)
 
 
-def disparity_lookup_pallas(geo_pyramid, corr_pyramid, disp, radius: int,
-                            interpret: bool = False) -> jnp.ndarray:
-    """Drop-in Pallas version of ops.sampler.disparity_lookup (fp32 out).
+def to_kernel_layout(geo_pyramid, corr_pyramid):
+    """(B,H,W,C,D)/(B,H,W,W2) pyramids -> kernel layout (B,H,C,D,W)/(B,H,1,W2,W).
 
-    geo_pyramid: levels of (B, H, W, C, D_l); corr_pyramid: (B, H, W, W_l);
-    disp: (B, H, W). Output matches the XLA version bit-for-bit-ish:
-    [geo_l0, corr_l0, geo_l1, corr_l1, ...], C-major taps-fastest.
+    Done once per forward (outside the GRU scan) so the per-iteration kernels
+    read the pyramids directly with width on the lane axis.
+    """
+    geo_k = [g.astype(jnp.float32).transpose(0, 1, 3, 4, 2) for g in geo_pyramid]
+    corr_k = [c.astype(jnp.float32).transpose(0, 1, 3, 2)[:, :, None] for c in corr_pyramid]
+    return geo_k, corr_k
+
+
+def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Lookup from kernel-layout pyramids (see :func:`to_kernel_layout`).
+
+    geo_k: levels of (B, H, C, D_l, W); corr_k: (B, H, 1, W_l, W);
+    disp: (B, H, W). Output matches ops.sampler.disparity_lookup:
+    [geo_l0, corr_l0, ...], C-major taps-fastest, fp32.
     """
     b, h, w = disp.shape
     disp_rows = disp.reshape(b * h, w)
     coords = jnp.arange(w, dtype=jnp.float32)[None, :]
     out = []
-    for i, (geo, corr) in enumerate(zip(geo_pyramid, corr_pyramid)):
+    for i, (geo, corr) in enumerate(zip(geo_k, corr_k)):
         scale = 1.0 / (2.0 ** i)
-        g = lookup_level_pallas(
-            geo.reshape(b * h, w, geo.shape[-2], geo.shape[-1]),
-            disp_rows, radius, scale, interpret=interpret)
-        out.append(g.reshape(b, h, w, -1))
-        # Correlation: positions (x_left - disp) * scale; reuse the kernel
-        # with C=1 and per-pixel coordinates folded into "disp".
-        xc = (coords - disp_rows)
-        c = lookup_level_pallas(
-            corr.reshape(b * h, w, 1, corr.shape[-1]),
-            xc, radius, scale, interpret=interpret)
-        out.append(c.reshape(b, h, w, -1))
+        c_dim, d_dim = geo.shape[2], geo.shape[3]
+        g = lookup_level_pallas(geo.reshape(b * h, c_dim, d_dim, w),
+                                disp_rows, radius, scale, interpret=interpret)
+        out.append(g.transpose(0, 3, 1, 2).reshape(b, h, w, -1))
+        xc = coords - disp_rows
+        c = lookup_level_pallas(corr.reshape(b * h, 1, corr.shape[3], w),
+                                xc, radius, scale, interpret=interpret)
+        out.append(c.transpose(0, 3, 1, 2).reshape(b, h, w, -1))
     return jnp.concatenate(out, axis=-1)
+
+
+def disparity_lookup_pallas(geo_pyramid, corr_pyramid, disp, radius: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Drop-in Pallas version of ops.sampler.disparity_lookup (fp32 out),
+    taking the standard (B,H,W,C,D)/(B,H,W,W2) pyramid layout."""
+    geo_k, corr_k = to_kernel_layout(geo_pyramid, corr_pyramid)
+    return disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius,
+                                       interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -107,30 +127,30 @@ def disparity_lookup_pallas(geo_pyramid, corr_pyramid, disp, radius: int,
 
 def _cost_volume_row_kernel(ln_ref, rn_ref, lp_ref, rp_ref, out_ref,
                             rn_pad, rp_pad, *, maxdisp: int, num_groups: int):
-    """One image row.
+    """One image row, width on the minor (lane) axis.
 
-    ln/rn: (1, W, C) L2-group-normalized features; lp/rp: (1, W, P) projected
-    12-ch features. out: (1, D, W, G + 2P) fp32 — [gwc | left-proj | right-
-    proj-shifted] matching the reference's channel concatenation.
-    rn_pad/rp_pad: (W + D, C/P) VMEM scratch holding zero-padded right rows
+    ln/rn: (1, G, cg, W) L2-group-normalized features; lp/rp: (1, P, W)
+    projected 12-ch features. out: (1, D, G+2P, W) fp32 — [gwc | left-proj |
+    right-proj-shifted] rows, channels on sublanes so nothing pads to 128.
+    rn_pad/rp_pad: (…, W + D) VMEM scratch holding zero-padded right rows
     (the shift w-d < 0 -> 0 comes from slicing into the zero prefix).
     """
-    W, G, cg = ln_ref.shape[1], ln_ref.shape[2], ln_ref.shape[3]
-    P = lp_ref.shape[2]
+    G, cg, W = ln_ref.shape[1], ln_ref.shape[2], ln_ref.shape[3]
+    P = lp_ref.shape[1]
 
-    ln = ln_ref[0].astype(jnp.float32)          # (W, G, cg)
-    lp = lp_ref[0].astype(jnp.float32)          # (W, P)
+    ln = ln_ref[0].astype(jnp.float32)          # (G, cg, W)
+    lp = lp_ref[0].astype(jnp.float32)          # (P, W)
 
-    rn_pad[0:maxdisp] = jnp.zeros((maxdisp, G, cg), jnp.float32)
-    rn_pad[maxdisp:] = rn_ref[0].astype(jnp.float32)
-    rp_pad[0:maxdisp] = jnp.zeros((maxdisp, P), jnp.float32)
-    rp_pad[maxdisp:] = rp_ref[0].astype(jnp.float32)
+    rn_pad[:, :, 0:maxdisp] = jnp.zeros((G, cg, maxdisp), jnp.float32)
+    rn_pad[:, :, maxdisp:] = rn_ref[0].astype(jnp.float32)
+    rp_pad[:, 0:maxdisp] = jnp.zeros((P, maxdisp), jnp.float32)
+    rp_pad[:, maxdisp:] = rp_ref[0].astype(jnp.float32)
 
     def body(d, carry):
-        rshift = rn_pad[pl.ds(maxdisp - d, W)]                     # (W, G, cg)
-        gwc = jnp.sum(ln * rshift, axis=-1)                        # (W, G)
-        rpshift = rp_pad[pl.ds(maxdisp - d, W)]                    # (W, P)
-        row = jnp.concatenate([gwc, lp, rpshift], axis=-1)         # (W, G+2P)
+        rshift = rn_pad[:, :, pl.ds(maxdisp - d, W)]               # (G, cg, W)
+        gwc = jnp.sum(ln * rshift, axis=1)                         # (G, W)
+        rpshift = rp_pad[:, pl.ds(maxdisp - d, W)]                 # (P, W)
+        row = jnp.concatenate([gwc, lp, rpshift], axis=0)          # (G+2P, W)
         out_ref[0, pl.ds(d, 1), :, :] = row[None]
         return carry
 
@@ -148,31 +168,33 @@ def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     p = left_proj.shape[-1]
     g = num_groups
     cg = c // g
-    # Group-shaped (…, G, cg) inputs: Mosaic cannot split a minor dim
-    # in-kernel, so the reshape happens here.
-    ln = group_normalize(left, g).reshape(b * h, w, g, cg)
-    rn = group_normalize(right, g).reshape(b * h, w, g, cg)
-    lp = left_proj.reshape(b * h, w, p).astype(jnp.float32)
-    rp = right_proj.reshape(b * h, w, p).astype(jnp.float32)
+    # Width-minor, group-shaped inputs: Mosaic cannot split a minor dim
+    # in-kernel, and channel-minor blocks would pad channels to 128 lanes.
+    ln = group_normalize(left, g).reshape(b * h, w, g, cg).transpose(0, 2, 3, 1)
+    rn = group_normalize(right, g).reshape(b * h, w, g, cg).transpose(0, 2, 3, 1)
+    lp = left_proj.reshape(b * h, w, p).astype(jnp.float32).transpose(0, 2, 1)
+    rp = right_proj.reshape(b * h, w, p).astype(jnp.float32).transpose(0, 2, 1)
 
     kernel = functools.partial(_cost_volume_row_kernel, maxdisp=maxdisp,
                                num_groups=g)
+    cc = g + 2 * p
     out = pl.pallas_call(
         kernel,
         grid=(b * h,),
         in_specs=[
-            pl.BlockSpec((1, w, g, cg), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, g, cg), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, cg, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, cg, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, maxdisp, w, g + 2 * p), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, maxdisp, cc, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, maxdisp, w, g + 2 * p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b * h, maxdisp, cc, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((w + maxdisp, g, cg), jnp.float32),
-            pltpu.VMEM((w + maxdisp, p), jnp.float32),
+            pltpu.VMEM((g, cg, w + maxdisp), jnp.float32),
+            pltpu.VMEM((p, w + maxdisp), jnp.float32),
         ],
         interpret=interpret,
     )(ln, rn, lp, rp)
-    return out.reshape(b, h, maxdisp, w, g + 2 * p).transpose(0, 2, 1, 3, 4)
+    # (B*H, D, C, W) -> (B, D, H, W, C)
+    return out.reshape(b, h, maxdisp, cc, w).transpose(0, 2, 1, 4, 3)
