@@ -126,23 +126,31 @@ def main():
         timed("D hourglass", build, lambda s: s[0](s[1], s[2]))
 
     if "E" in stages:  # lookup loop (pallas and xla)
+        from foundationstereo_tpu.ops.pallas_kernels import (
+            disparity_lookup_pallas_pre,
+            to_kernel_layout,
+        )
+
         geo = jax.random.normal(key, (1, H4, W4, 28, D), jnp.float32)
         corr = jax.random.normal(key, (1, H4, W4, W4), jnp.float32)
         disp0 = jnp.abs(jax.random.normal(key, (1, H4, W4))) * 20
         gp = tuple(pool_last_axis(geo, 3))
         cp = tuple(pool_last_axis(corr, 3))
+        gk, ck = to_kernel_layout(list(gp), list(cp))
+        gk, ck = tuple(gk), tuple(ck)
 
-        def scan_of(lookup):
+        def scan_of(lookup, g, c):
             def step(d, _):
-                feat = lookup(list(gp), list(cp), d, 4)
+                feat = lookup(list(g), list(c), d, 4)
                 return d + 1e-4 * feat[..., 0], None
             return jax.jit(lambda d: jax.lax.scan(step, d, None, length=args.iters)[0])
 
         if on_tpu:
             timed(f"E lookup_pallas x{args.iters}",
-                  lambda: (scan_of(disparity_lookup_pallas),), lambda s: s[0](disp0))
+                  lambda: (scan_of(disparity_lookup_pallas_pre, gk, ck),),
+                  lambda s: s[0](disp0))
         timed(f"E lookup_xla x{args.iters}",
-              lambda: (scan_of(disparity_lookup),), lambda s: s[0](disp0))
+              lambda: (scan_of(disparity_lookup, gp, cp),), lambda s: s[0](disp0))
 
     if "F" in stages:  # full model
         from foundationstereo_tpu.models.foundation_stereo import FoundationStereo
