@@ -125,36 +125,35 @@ def disparity_lookup_pallas(geo_pyramid, corr_pyramid, disp, radius: int,
 # ---------------------------------------------------------------------------
 
 
-def _cost_volume_row_kernel(ln_ref, rn_ref, lp_ref, rp_ref, out_ref,
+def _cost_volume_row_kernel(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref,
                             rn_pad, rp_pad, *, maxdisp: int, num_groups: int):
     """One image row, width on the minor (lane) axis.
 
-    ln/rn: (1, G, cg, W) L2-group-normalized features; lp/rp: (1, P, W)
-    projected 12-ch features. out: (1, D, G+2P, W) fp32 — [gwc | left-proj |
-    right-proj-shifted] rows, channels on sublanes so nothing pads to 128.
+    ln/rn: (1, G, cg, W) L2-group-normalized features; rp: (1, P, W) projected
+    12-ch right feature. Outputs: gwc (1, D, G, W) correlation rows and
+    rps (1, D, P, W) disparity-shifted right projection (the left projection
+    is d-invariant and concatenated outside the kernel).
     rn_pad/rp_pad: (…, W + D) VMEM scratch holding zero-padded right rows
     (the shift w-d < 0 -> 0 comes from slicing into the zero prefix).
     """
     G, cg, W = ln_ref.shape[1], ln_ref.shape[2], ln_ref.shape[3]
-    P = lp_ref.shape[1]
+    P = rp_ref.shape[1]
 
     ln = ln_ref[0].astype(jnp.float32)          # (G, cg, W)
-    lp = lp_ref[0].astype(jnp.float32)          # (P, W)
 
     rn_pad[:, :, 0:maxdisp] = jnp.zeros((G, cg, maxdisp), jnp.float32)
     rn_pad[:, :, maxdisp:] = rn_ref[0].astype(jnp.float32)
     rp_pad[:, 0:maxdisp] = jnp.zeros((P, maxdisp), jnp.float32)
     rp_pad[:, maxdisp:] = rp_ref[0].astype(jnp.float32)
+    rn_all = rn_pad[:, :, :]
+    rp_all = rp_pad[:, :]
 
-    def body(d, carry):
-        rshift = rn_pad[:, :, pl.ds(maxdisp - d, W)]               # (G, cg, W)
-        gwc = jnp.sum(ln * rshift, axis=1)                         # (G, W)
-        rpshift = rp_pad[:, pl.ds(maxdisp - d, W)]                 # (P, W)
-        row = jnp.concatenate([gwc, lp, rpshift], axis=0)          # (G+2P, W)
-        out_ref[0, pl.ds(d, 1), :, :] = row[None]
-        return carry
-
-    jax.lax.fori_loop(0, maxdisp, body, None)
+    # Static unrolled disparity sweep: Mosaic cannot prove alignment for
+    # dynamic lane-axis slices, but handles arbitrary static offsets.
+    for d in range(maxdisp):
+        rshift = rn_all[:, :, maxdisp - d : maxdisp - d + W]       # (G, cg, W)
+        gwc_ref[0, d, :, :] = jnp.sum(ln * rshift, axis=1)         # (G, W)
+        rps_ref[0, d, :, :] = rp_all[:, maxdisp - d : maxdisp - d + W]
 
 
 def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
@@ -172,29 +171,37 @@ def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     # in-kernel, and channel-minor blocks would pad channels to 128 lanes.
     ln = group_normalize(left, g).reshape(b * h, w, g, cg).transpose(0, 2, 3, 1)
     rn = group_normalize(right, g).reshape(b * h, w, g, cg).transpose(0, 2, 3, 1)
-    lp = left_proj.reshape(b * h, w, p).astype(jnp.float32).transpose(0, 2, 1)
     rp = right_proj.reshape(b * h, w, p).astype(jnp.float32).transpose(0, 2, 1)
 
     kernel = functools.partial(_cost_volume_row_kernel, maxdisp=maxdisp,
                                num_groups=g)
-    cc = g + 2 * p
-    out = pl.pallas_call(
+    gwc, rps = pl.pallas_call(
         kernel,
         grid=(b * h,),
         in_specs=[
             pl.BlockSpec((1, g, cg, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g, cg, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, maxdisp, cc, w), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, maxdisp, cc, w), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, maxdisp, g, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maxdisp, p, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, maxdisp, g, w), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, maxdisp, p, w), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((g, cg, w + maxdisp), jnp.float32),
             pltpu.VMEM((p, w + maxdisp), jnp.float32),
         ],
         interpret=interpret,
-    )(ln, rn, lp, rp)
-    # (B*H, D, C, W) -> (B, D, H, W, C)
-    return out.reshape(b, h, maxdisp, cc, w).transpose(0, 2, 1, 4, 3)
+    )(ln, rn, rp)
+    # (B*H, D, C', W) -> (B, D, H, W, C'); left projection broadcasts over D.
+    gwc = gwc.reshape(b, h, maxdisp, g, w).transpose(0, 2, 1, 4, 3)
+    rps = rps.reshape(b, h, maxdisp, p, w).transpose(0, 2, 1, 4, 3)
+    lp_b = jnp.broadcast_to(
+        left_proj.astype(jnp.float32)[:, None], (b, maxdisp, h, w, p))
+    return jnp.concatenate([gwc, lp_b, rps], axis=-1)
