@@ -47,11 +47,17 @@ def _lookup_row_kernel(disp_ref, vol_ref, out_ref, *, radius: int, scale: float)
     j = jax.lax.broadcasted_iota(jnp.int32, (D + 2 * r, W), 0).astype(jnp.float32) - float(r)
     text = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - j))  # (D+2r, W)
 
-    vol = vol_ref[0].astype(jnp.float32)                   # (C, D, W)
-    for k in range(-r, r + 1):
-        t_k = text[r - k : r - k + D, :]                   # (D, W)
-        acc = jnp.sum(vol * t_k[None, :, :], axis=1)       # (C, W)
-        out_ref[0, :, k + r, :] = acc
+    # fori over channels (dynamic index on the untiled leading dim) keeps the
+    # generated vector code compact — whole-block ops across (C, D, W) made
+    # Mosaic compile times explode at full resolution.
+    def body(c, carry):
+        vol_c = vol_ref[0, c].astype(jnp.float32)          # (D, W)
+        for k in range(-r, r + 1):
+            t_k = text[r - k : r - k + D, :]               # (D, W)
+            out_ref[0, c, k + r, :] = jnp.sum(vol_c * t_k, axis=0)
+        return carry
+
+    jax.lax.fori_loop(0, C, body, None)
 
 
 def lookup_level_pallas(vol: jnp.ndarray, disp: jnp.ndarray, radius: int,
