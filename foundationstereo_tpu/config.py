@@ -38,6 +38,7 @@ class ModelConfig:
     train_iters: int = 22         # GRU iterations during training
     valid_iters: int = 32         # GRU iterations during inference
     use_pallas: bool = True       # Pallas kernels on the TPU inference path
+    pallas_cost_volume: bool = True  # Pallas for the cost-volume build too
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":

@@ -159,7 +159,7 @@ class FoundationStereo(nn.Module):
         features_right = [shard_batch(f) for f in features_right]
         proj = Conv(12, 1, 1, 0, dtype=dt, name="proj_cmb")
         lproj, rproj = proj(features_left[0]), proj(features_right[0])
-        if _pallas_enabled(cfg, train):
+        if _pallas_enabled(cfg, train) and cfg.pallas_cost_volume:
             comb = build_cost_volume_pallas(
                 features_left[0], features_right[0], lproj, rproj, D,
                 cfg.cv_group).astype(dt)

@@ -162,6 +162,33 @@ def _cost_volume_row_kernel(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref,
         rps_ref[0, d, :, :] = rp_all[:, maxdisp - d : maxdisp - d + W]
 
 
+def _cost_volume_row_kernel_roll(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref, *,
+                                 maxdisp: int, num_groups: int):
+    """Compact-codegen variant: fori over disparity with dynamic lane rotates.
+
+    roll(x, d)[w] = x[w - d mod W]; masking w < d restores the zero shift —
+    avoids both the unaligned-dynamic-slice restriction and the code blowup
+    of a maxdisp-times unrolled sweep.
+    """
+    G, cg, W = ln_ref.shape[1], ln_ref.shape[2], ln_ref.shape[3]
+    P = rp_ref.shape[1]
+    ln = ln_ref[0].astype(jnp.float32)                    # (G, cg, W)
+    rn = rn_ref[0].astype(jnp.float32)
+    rp = rp_ref[0].astype(jnp.float32)                    # (P, W)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)  # (1, W)
+
+    def body(d, carry):
+        mask1 = (lane >= d)                                # (1, W)
+        rolled = pltpu.roll(rn, d, 2)                      # (G, cg, W)
+        rshift = jnp.where(mask1[None], rolled, 0.0)
+        gwc_ref[0, pl.ds(d, 1), :, :] = jnp.sum(ln * rshift, axis=1)[None]
+        rolled_p = pltpu.roll(rp, d, 1)                    # (P, W)
+        rps_ref[0, pl.ds(d, 1), :, :] = jnp.where(mask1, rolled_p, 0.0)[None]
+        return carry
+
+    jax.lax.fori_loop(0, maxdisp, body, None)
+
+
 def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
                              left_proj: jnp.ndarray, right_proj: jnp.ndarray,
                              maxdisp: int, num_groups: int,
