@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--n_devices", type=int, default=0,
                     help="0 = all local devices")
     ap.add_argument("--mlflow", type=int, default=0)
+    ap.add_argument("--vis_every", type=int, default=0,
+                    help="dump left|GT|prediction panels every N steps")
+    ap.add_argument("--profile_steps", type=str, default="",
+                    help="'start,stop' step range to capture a jax.profiler trace")
     args = ap.parse_args()
 
     config = json.loads(Path(args.config).read_text())
@@ -117,11 +121,35 @@ def main():
         records = []
         t_last = time.time()
         batch = first
+        prof_range = ([int(x) for x in args.profile_steps.split(",")]
+                      if args.profile_steps else None)
         for step in range(initial_step, args.num_iterations):
+            if prof_range and step == prof_range[0]:
+                jax.profiler.start_trace(str(workspace / "profile"))
             for _ in range(args.gradient_accumulation_steps):
                 state, metrics = trainer.train_step(state, batch)
+                last_batch = batch
                 batch = to_device_batch(data_pipe.get())
             records.append({k: float(v) for k, v in metrics.items()})
+            if prof_range and step == prof_range[1]:
+                jax.profiler.stop_trace()
+                print(f"profile trace written to {workspace / 'profile'}", flush=True)
+
+            if args.vis_every and step % args.vis_every == 0:
+                try:
+                    from PIL import Image
+                    from foundationstereo_tpu.utils.vis import vis_disparity
+                    disp, _ = trainer.eval_step(state, last_batch)
+                    disp = np.asarray(disp[0])
+                    left_img = np.asarray(last_batch["left"][0]).astype(np.uint8)
+                    gt_vis = vis_disparity(np.asarray(last_batch["disparity"][0]))
+                    pred_vis = vis_disparity(disp)
+                    panel = np.concatenate([left_img, gt_vis, pred_vis], axis=1)
+                    vis_dir = workspace / "vis"
+                    vis_dir.mkdir(exist_ok=True)
+                    Image.fromarray(panel).save(vis_dir / f"{step:08d}.png")
+                except Exception as e:  # noqa: BLE001 — vis must not kill training
+                    print(f"vis failed: {e}", flush=True)
 
             if step % args.log_every == 0 or step == initial_step:
                 avg = {k: float(np.mean([r[k] for r in records if k in r]))
