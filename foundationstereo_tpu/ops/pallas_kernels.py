@@ -103,18 +103,22 @@ def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
     b, h, w = disp.shape
     disp_rows = disp.reshape(b * h, w)
     coords = jnp.arange(w, dtype=jnp.float32)[None, :]
-    out = []
+    K = 2 * radius + 1
+    parts = []
     for i, (geo, corr) in enumerate(zip(geo_k, corr_k)):
         scale = 1.0 / (2.0 ** i)
         c_dim, d_dim = geo.shape[2], geo.shape[3]
         g = lookup_level_pallas(geo.reshape(b * h, c_dim, d_dim, w),
                                 disp_rows, radius, scale, interpret=interpret)
-        out.append(g.transpose(0, 3, 1, 2).reshape(b, h, w, -1))
+        parts.append(g.reshape(b * h, c_dim * K, w))
         xc = coords - disp_rows
         c = lookup_level_pallas(corr.reshape(b * h, 1, corr.shape[3], w),
                                 xc, radius, scale, interpret=interpret)
-        out.append(c.transpose(0, 3, 1, 2).reshape(b, h, w, -1))
-    return jnp.concatenate(out, axis=-1)
+        parts.append(c.reshape(b * h, K, w))
+    # One channel-concat + one large-minor transpose (a per-level transpose
+    # to a 9-element minor axis is catastrophically slow on TPU).
+    feat = jnp.concatenate(parts, axis=1)            # (B*H, F, W)
+    return feat.transpose(0, 2, 1).reshape(b, h, w, -1)
 
 
 def disparity_lookup_pallas(geo_pyramid, corr_pyramid, disp, radius: int,
