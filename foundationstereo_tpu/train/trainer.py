@@ -106,18 +106,10 @@ class Trainer:
 
     # -- train step ---------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: TrainState, batch: dict):
-        """One optimization step.
-
-        batch: left/right (B,H,W,3) float 0-255, disparity (B,H,W), mask
-        (B,H,W) bool, label_idx (B,) int32, rng (2,) uint32.
-        """
-        tx = self._tx
-
+    def _loss_and_grads(self, params, batch_stats, batch):
         def loss_fn(params):
             out, mutated = self.model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 batch["left"], batch["right"], iters=self.iters,
                 test_mode=False, train=True,
                 mutable=["batch_stats"],
@@ -129,12 +121,13 @@ class Trainer:
                 init_disp, preds, batch["disparity"], batch["mask"],
                 batch["label_idx"])
             loss = jnp.mean(per_sample)
-            return loss, (metrics, mutated.get("batch_stats", state.batch_stats))
+            return loss, (metrics, mutated.get("batch_stats", batch_stats))
 
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
+    def _apply_grads(self, state, loss, metrics, new_bs, grads):
         # NaN/Inf-grad skip (scripts/train.py:410-414).
+        tx = self._tx
         gnorm = optax_global_norm(grads)
         ok = jnp.isfinite(gnorm) & jnp.isfinite(loss)
         grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
@@ -156,6 +149,43 @@ class Trainer:
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_bs, opt_state=new_opt,
                           ema_params=new_ema), metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch: dict):
+        """One optimization step.
+
+        batch: left/right (B,H,W,3) float 0-255, disparity (B,H,W), mask
+        (B,H,W) bool, label_idx (B,) int32, rng (2,) uint32.
+        """
+        (loss, (metrics, new_bs)), grads = self._loss_and_grads(
+            state.params, state.batch_stats, batch)
+        return self._apply_grads(state, loss, metrics, new_bs, grads)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step_accum(self, state: TrainState, batches: dict):
+        """One optimization step over K accumulated micro-batches.
+
+        batches: same keys as train_step but with a leading micro-batch axis
+        (K, B, ...). Gradients are averaged over micro-batches before the
+        single optimizer update (scripts/train.py's accelerator.accumulate
+        semantics), scanning to bound memory.
+        """
+        k = batches["left"].shape[0]
+
+        def body(carry, micro):
+            bs, grad_acc, loss_acc = carry
+            (loss, (metrics, new_bs)), grads = self._loss_and_grads(
+                state.params, bs, micro)
+            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            return (new_bs, grad_acc, loss_acc + loss), metrics
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (new_bs, grads, loss_sum), metrics_stack = jax.lax.scan(
+            body, (state.batch_stats, zero_grads, 0.0), batches)
+        grads = jax.tree.map(lambda g: g / k, grads)
+        loss = loss_sum / k
+        metrics = {key: jnp.mean(v) for key, v in metrics_stack.items()}
+        return self._apply_grads(state, loss, metrics, new_bs, grads)
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, batch: dict):

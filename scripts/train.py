@@ -126,10 +126,18 @@ def main():
         for step in range(initial_step, args.num_iterations):
             if prof_range and step == prof_range[0]:
                 jax.profiler.start_trace(str(workspace / "profile"))
-            for _ in range(args.gradient_accumulation_steps):
+            if args.gradient_accumulation_steps > 1:
+                micros = [batch]
+                for _ in range(args.gradient_accumulation_steps - 1):
+                    micros.append(to_device_batch(data_pipe.get()))
+                import jax.numpy as jnp
+                stacked = {k: jnp.stack([m[k] for m in micros])
+                           for k in micros[0]}
+                state, metrics = trainer.train_step_accum(state, stacked)
+            else:
                 state, metrics = trainer.train_step(state, batch)
-                last_batch = batch
-                batch = to_device_batch(data_pipe.get())
+            last_batch = batch
+            batch = to_device_batch(data_pipe.get())
             records.append({k: float(v) for k, v in metrics.items()})
             if prof_range and step == prof_range[1]:
                 jax.profiler.stop_trace()
