@@ -32,8 +32,9 @@ def run_bench(height: int, width: int, vit_size: str, max_disp: int, iters: int,
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fstpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # NOTE: deliberately NO persistent compilation cache here — executables
+    # deserialized from the cache wedge this TPU runtime on re-execution
+    # (first run succeeds, every later run hangs). Fresh compiles behave.
 
     from foundationstereo_tpu.config import ModelConfig
     from foundationstereo_tpu.models.foundation_stereo import FoundationStereo

@@ -33,8 +33,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fstpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # No persistent compile cache: cached executables wedge this runtime on
+    # re-execution (see bench.py note).
 
     from foundationstereo_tpu.config import ModelConfig
     from foundationstereo_tpu.models.cost_filter import Hourglass
