@@ -46,26 +46,27 @@ def run_bench(height: int, width: int, vit_size: str, max_disp: int, iters: int,
     right = jnp.asarray(rng.uniform(0, 255, (1, height, width, 3)).astype(np.float32))
 
     log(f"devices: {jax.devices()}")
+    # CRITICAL: every dispatch below is fenced by a scalar readback before
+    # the next one. Under remote-tunnelled runtimes block_until_ready returns
+    # before execution finishes, and overlapping executions of a large
+    # program wedge the device.
     t0 = time.time()
     variables = jax.jit(
         lambda k: model.init(k, left, right, iters=1, test_mode=True)
     )(jax.random.PRNGKey(0))
-    jax.block_until_ready(variables)
+    float(jnp.sum(jax.tree.leaves(variables["params"])[0]))
     log(f"init: {time.time() - t0:.1f}s, params="
         f"{sum(np.prod(p.shape) for p in jax.tree.leaves(variables['params'])) / 1e6:.1f}M")
 
     fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, iters=iters, test_mode=True))
-    t0 = time.time()
-    out = fwd(variables, left, right)
-    jax.block_until_ready(out)
-    log(f"compile+first run: {time.time() - t0:.1f}s")
 
-    # Force a device->host readback per run: under remote-tunnelled platforms
-    # block_until_ready can return before execution completes, so fetching a
-    # scalar is the only reliable fence.
     def run_once():
         out = fwd(variables, left, right)
         return float(jnp.sum(out))
+
+    t0 = time.time()
+    run_once()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
 
     for _ in range(warmup):
         run_once()

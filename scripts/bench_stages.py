@@ -66,6 +66,12 @@ def main():
     def timed(name, build_fn, run_fn):
         t0 = time.time()
         state = build_fn()
+        # Fence any device arrays produced by build (init etc.) before the
+        # first run dispatch: overlapping executions wedge this runtime.
+        for leaf in jax.tree.leaves(state):
+            if isinstance(leaf, jax.Array):
+                float(jnp.sum(jnp.ravel(leaf)[0]))
+                break
         log(f"[{name}] built in {time.time()-t0:.1f}s")
         t0 = time.time()
         out = run_fn(state)
