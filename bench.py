@@ -27,6 +27,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_device_alive(max_minutes: int = 25) -> bool:
+    """Probe the backend from subprocesses until a trivial op completes.
+
+    The tunnelled TPU runtime can stay wedged for many minutes after an
+    interrupted execution; an in-process probe would block forever, so gate
+    on short-lived subprocess probes before committing to the real run.
+    """
+    import subprocess
+    import time as _t
+
+    deadline = _t.time() + max_minutes * 60
+    attempt = 0
+    while _t.time() < deadline:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print('ALIVE', float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"],
+                capture_output=True, text=True, timeout=90)
+            if "ALIVE" in r.stdout:
+                log(f"device alive (probe {attempt})")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"device probe {attempt} failed; retrying")
+        _t.sleep(45)
+    log("device never became reachable")
+    return False
+
+
 def run_bench(height: int, width: int, vit_size: str, max_disp: int, iters: int,
               warmup: int, reps: int) -> float:
     import jax
@@ -91,6 +122,7 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
+    wait_device_alive()
     attempts = [(args.vit_size, args.max_disp), (args.vit_size, 192), ("vits", 192)]
     value = 0.0
     used = None
