@@ -28,11 +28,55 @@ from foundationstereo_tpu.ops.resize import resize1d_matrix
 Dtype = Any
 
 
+def chunked_attention(q, k, v, scale: float, chunk: int = 512):
+    """Flash-style attention: scan over KV chunks with an online softmax.
+
+    q/k/v: (B, N, H, D). Avoids materializing the (B, H, N, N) logits —
+    at 9k ViT tokens that tensor dominates HBM traffic. fp32 accumulators.
+    """
+    B, N, H, D = q.shape
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    neg = jnp.float32(-1e30)
+    valid = (jnp.arange(n_chunks * chunk) < N).reshape(n_chunks, chunk)
+
+    ks = kp.reshape(B, n_chunks, chunk, H, D).transpose(1, 0, 2, 3, 4)
+    vs = vp.reshape(B, n_chunks, chunk, H, D).transpose(1, 0, 2, 3, 4)
+
+    def body(carry, inp):
+        m, l, acc = carry                       # (B,H,N), (B,H,N), (B,H,N,D)
+        kc, vc, mask = inp                      # (B,chunk,H,D), ..., (chunk,)
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, kc,
+                       preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask[None, None, None, :], s, neg)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l_new = l * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhnm,bmhd->bhnd", p.astype(vc.dtype), vc,
+            preferred_element_type=jnp.float32)
+        return (m_new, l_new, acc_new), None
+
+    init = (jnp.full((B, H, N), neg, jnp.float32),
+            jnp.zeros((B, H, N), jnp.float32),
+            jnp.zeros((B, H, N, D), jnp.float32))
+    (m, l, acc), _ = jax.lax.scan(body, init, (ks, vs, valid))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.transpose(0, 2, 1, 3)            # (B, N, H, D)
+
+
 class ViTAttention(nn.Module):
-    """Joint-QKV multi-head self-attention (dinov2 layers/attention.py:36-99)."""
+    """Joint-QKV multi-head self-attention (dinov2 layers/attention.py:36-99).
+
+    chunked=True switches to the flash-style online-softmax path (identical
+    math, no materialized N x N logits)."""
 
     dim: int
     num_heads: int
+    chunked: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -43,9 +87,12 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = 1.0 / np.sqrt(hd)
-        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(B, N, C)
+        if self.chunked and N > 1024:
+            out = chunked_attention(q, k, v, scale).astype(v.dtype).reshape(B, N, C)
+        else:
+            logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+            w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(B, N, C)
         return nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
 
