@@ -39,6 +39,11 @@ class ModelConfig:
     valid_iters: int = 32         # GRU iterations during inference
     use_pallas: bool = True       # Pallas kernels on the TPU inference path
     pallas_cost_volume: bool = True  # Pallas for the cost-volume build too
+    # ViT self-attention implementation over the ~5-9k patch tokens (the #1
+    # FLOPs consumer; reference uses xformers/flash-attn,
+    # dinov2/dinov2/layers/attention.py:82-99). "auto" resolves to the Pallas
+    # flash kernel on TPU and the dense einsum elsewhere at trace time.
+    vit_attention: str = "auto"   # auto | dense | chunked | flash
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":

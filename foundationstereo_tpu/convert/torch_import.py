@@ -487,37 +487,52 @@ def _unflatten(flat: dict):
     return tree
 
 
-def import_reference_checkpoint(state_dict: dict[str, np.ndarray], variables,
-                                cfg) -> tuple[Any, dict]:
-    """Overlay reference weights onto `variables` ({'params', 'batch_stats'}).
+def submodule_rules(cfg, flax_prefix: str, torch_prefix: str) -> dict:
+    """Slice the full name map down to one module, stripping both prefixes.
 
-    Returns (new_variables, report) where report lists mapped / missing /
-    shape-mismatched / unused keys.
+    Lets a standalone flax module (params rooted at itself) import the
+    state_dict of the matching standalone torch module — used by the
+    activation-parity tests (tests/test_parity_torch.py).
     """
+    full = build_name_map(cfg)
+    rules = {}
+    for fp, (tk, tf) in full.rules.items():
+        stats = fp.startswith("batch_stats::")
+        fp2 = fp[len("batch_stats::"):] if stats else fp
+        if not (fp2 == flax_prefix or fp2.startswith(flax_prefix + "/")):
+            continue
+        fp2 = fp2[len(flax_prefix) + 1:]
+        assert tk == torch_prefix or tk.startswith(torch_prefix + "."), (fp, tk)
+        tk2 = tk[len(torch_prefix) + 1:] if tk != torch_prefix else ""
+        rules[("batch_stats::" if stats else "") + fp2] = (tk2, tf)
+    return rules
+
+
+def apply_rules(rules: dict, state_dict: dict[str, np.ndarray], variables,
+                uncertain: set | None = None) -> tuple[Any, dict]:
+    """Overlay torch weights onto `variables` via (flax_path -> (torch_key,
+    transform)) rules. Returns (new_variables, report)."""
     import jax.numpy as jnp
 
-    name_map = build_name_map(cfg)
     flat_params = _flatten(variables["params"])
     flat_stats = _flatten(variables.get("batch_stats", {}))
 
     report = {"mapped": [], "missing_torch": [], "shape_mismatch": [],
-              "unmapped_flax": [], "uncertain": sorted(name_map.uncertain)}
+              "unmapped_flax": [], "uncertain": sorted(uncertain or ())}
 
     def apply_to(flat, key_prefix=""):
         updated = {}
         for fpath, leaf in flat.items():
-            # Try the exact path first, then the wrapper-collapsed form (our
-            # Conv/BatchNorm/GroupNorm wrappers add one inner auto-segment).
             rule_key = None
             for cand in (key_prefix + fpath, key_prefix + canonical_path(fpath)):
-                if cand in name_map.rules:
+                if cand in rules:
                     rule_key = cand
                     break
             if rule_key is None:
                 report["unmapped_flax"].append(key_prefix + fpath)
                 updated[fpath] = leaf
                 continue
-            tk, tf = name_map.rules[rule_key]
+            tk, tf = rules[rule_key]
             if tk not in state_dict:
                 report["missing_torch"].append(tk)
                 updated[fpath] = leaf
@@ -533,11 +548,22 @@ def import_reference_checkpoint(state_dict: dict[str, np.ndarray], variables,
 
     new_params = _unflatten(apply_to(flat_params))
     new_stats = _unflatten(apply_to(flat_stats, key_prefix="batch_stats::"))
-    used = {name_map.rules[k][0] for k in report["mapped"]
-            if k in name_map.rules}
+    used = {rules[k][0] for k in report["mapped"] if k in rules}
     report["unused_torch"] = sorted(set(state_dict) - used)
     out = dict(variables)
     out["params"] = new_params
     if flat_stats:
         out["batch_stats"] = new_stats
     return out, report
+
+
+def import_reference_checkpoint(state_dict: dict[str, np.ndarray], variables,
+                                cfg) -> tuple[Any, dict]:
+    """Overlay reference weights onto `variables` ({'params', 'batch_stats'}).
+
+    Returns (new_variables, report) where report lists mapped / missing /
+    shape-mismatched / unused keys.
+    """
+    name_map = build_name_map(cfg)
+    return apply_rules(name_map.rules, state_dict, variables,
+                       uncertain=name_map.uncertain)

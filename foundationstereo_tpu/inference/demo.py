@@ -57,17 +57,22 @@ def main(argv=None):
     ap.add_argument("--denoise_radius", type=float, default=0.03)
     ap.add_argument("--vit_size", type=str, default=None)
     ap.add_argument("--max_disp", type=int, default=None)
+    ap.add_argument("--ema", type=int, default=0,
+                    help="serve the checkpoint's EMA weights instead of raw params")
     args = ap.parse_args(argv)
 
-    ref_assets = Path("/root/reference/assets")
+    # Default assets: repo-local assets/ first, the mounted reference's
+    # assets as a fallback for this environment.
+    repo_assets = Path(code_dir).resolve().parents[2] / "assets"
+    assets = repo_assets if repo_assets.is_dir() else Path("/root/reference/assets")
     if args.camera_type == "panorama":
-        args.left_file = args.left_file or str(ref_assets / "blender/up_erp.png")
-        args.right_file = args.right_file or str(ref_assets / "blender/down_erp.png")
-        args.intrinsic_file = args.intrinsic_file or str(ref_assets / "blender/K.txt")
+        args.left_file = args.left_file or str(assets / "blender/up_erp.png")
+        args.right_file = args.right_file or str(assets / "blender/down_erp.png")
+        args.intrinsic_file = args.intrinsic_file or str(assets / "blender/K.txt")
     else:
-        args.left_file = args.left_file or str(ref_assets / "left.png")
-        args.right_file = args.right_file or str(ref_assets / "right.png")
-        args.intrinsic_file = args.intrinsic_file or str(ref_assets / "K.txt")
+        args.left_file = args.left_file or str(assets / "left.png")
+        args.right_file = args.right_file or str(assets / "right.png")
+        args.intrinsic_file = args.intrinsic_file or str(assets / "K.txt")
     if args.out_dir is None:
         stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         args.out_dir = f"{code_dir}/../../test_outputs/{args.camera_type}_{stamp}"
@@ -126,15 +131,10 @@ def main(argv=None):
     model = FoundationStereo(cfg)
     if args.ckpt_dir:
         from foundationstereo_tpu.train.checkpoints import CheckpointManager
-        padder0 = InputPadder(left.shape, divis_by=32)
-        l0, r0 = padder0.pad(left, right)
-        variables = jax.eval_shape(
-            lambda: model.init(jax.random.PRNGKey(0), l0, r0, iters=1, test_mode=True))
         mgr = CheckpointManager(args.ckpt_dir)
-        restored, step = mgr.restore("latest", {"params": variables["params"],
-                                               "batch_stats": variables.get("batch_stats", {})})
-        variables = restored
-        logging.info(f"restored checkpoint step {step} from {args.ckpt_dir}")
+        variables, step = mgr.restore_inference("latest", use_ema=bool(args.ema))
+        logging.info(f"restored checkpoint step {step} from {args.ckpt_dir}"
+                     f"{' (EMA weights)' if args.ema else ''}")
     else:
         padder0 = InputPadder(left.shape, divis_by=32)
         l0, r0 = padder0.pad(left, right)

@@ -68,15 +68,60 @@ def chunked_attention(q, k, v, scale: float, chunk: int = 512):
     return out.transpose(0, 2, 1, 3)            # (B, N, H, D)
 
 
+def flash_vit_attention(q, k, v, scale: float, block: int = 512):
+    """TPU Pallas flash attention over ViT tokens (q/k/v: (B, N, H, D)).
+
+    Pads N (= hp*wp + 1 cls token, rarely block-aligned) up to a multiple of
+    `block` and masks the padding with segment ids: valid tokens get id 1,
+    pad tokens id 0, so valid queries never attend to padding and pad queries
+    stay finite (they attend to each other and are sliced off).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, N, H, D = q.shape
+    Np = -(-N // block) * block
+    pad = Np - N
+
+    def to_bhnd(t):
+        t = jnp.pad(t, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return t.transpose(0, 2, 1, 3)  # (B, H, Np, D)
+
+    qp, kp, vp = to_bhnd(q), to_bhnd(k), to_bhnd(v)
+    seg = (jnp.arange(Np) < N).astype(jnp.int32)[None].repeat(B, axis=0)
+    sizes = BlockSizes(block_q=block, block_k_major=block, block_k=block,
+                       block_b=1,
+                       block_q_major_dkv=block, block_k_major_dkv=block,
+                       block_k_dkv=block, block_q_dkv=block,
+                       block_k_major_dq=block, block_k_dq=block,
+                       block_q_dq=block)
+    out = flash_attention(qp, kp, vp, segment_ids=SegmentIds(q=seg, kv=seg),
+                          sm_scale=scale, block_sizes=sizes)
+    return out.transpose(0, 2, 1, 3)[:, :N]  # (B, N, H, D)
+
+
+def resolve_vit_attention(impl: str) -> str:
+    """Resolve the "auto" attention choice at trace time: the Pallas flash
+    kernel on TPU, the dense einsum elsewhere (CPU tests, tiny inputs)."""
+    if impl != "auto":
+        return impl
+    return "flash" if jax.default_backend() == "tpu" else "dense"
+
+
 class ViTAttention(nn.Module):
     """Joint-QKV multi-head self-attention (dinov2 layers/attention.py:36-99).
 
-    chunked=True switches to the flash-style online-softmax path (identical
-    math, no materialized N x N logits)."""
+    `attention` picks the softmax-attention implementation for large token
+    counts (N > 1024): "flash" = the Pallas TPU kernel (no materialized
+    N x N logits, VMEM-resident tiles), "chunked" = lax.scan online-softmax
+    (any backend), "dense" = plain einsum. Small N always uses dense."""
 
     dim: int
     num_heads: int
-    chunked: bool = False
+    attention: str = "dense"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -87,7 +132,10 @@ class ViTAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = 1.0 / np.sqrt(hd)
-        if self.chunked and N > 1024:
+        impl = resolve_vit_attention(self.attention) if N > 1024 else "dense"
+        if impl == "flash":
+            out = flash_vit_attention(q, k, v, scale).astype(v.dtype).reshape(B, N, C)
+        elif impl == "chunked":
             out = chunked_attention(q, k, v, scale).astype(v.dtype).reshape(B, N, C)
         else:
             logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
@@ -102,6 +150,7 @@ class ViTBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    attention: str = "dense"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -109,7 +158,8 @@ class ViTBlock(nn.Module):
         ls1 = self.param("ls1_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
         ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,), jnp.float32)
         h = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32, name="norm1")(x)
-        h = ViTAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
+        h = ViTAttention(self.dim, self.num_heads, attention=self.attention,
+                         dtype=self.dtype, name="attn")(h)
         x = x + ls1.astype(h.dtype) * h
         h = nn.LayerNorm(epsilon=1e-6, param_dtype=jnp.float32, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
@@ -156,6 +206,7 @@ class DinoVisionTransformer(nn.Module):
     patch_size: int = 14
     pretrain_img_size: int = 518
     mlp_ratio: float = 4.0
+    attention: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -185,7 +236,8 @@ class DinoVisionTransformer(nn.Module):
         want = set(intermediate_layers)
         for i in range(self.depth):
             tokens = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                              dtype=self.dtype, name=f"block{i}")(tokens)
+                              attention=self.attention, dtype=self.dtype,
+                              name=f"block{i}")(tokens)
             if i in want:
                 taps[i] = tokens
 
@@ -197,8 +249,9 @@ class DinoVisionTransformer(nn.Module):
         return outputs
 
 
-def make_vit(vit_size: str, dtype=jnp.float32) -> DinoVisionTransformer:
+def make_vit(vit_size: str, dtype=jnp.float32,
+             attention: str = "auto") -> DinoVisionTransformer:
     cfg = VIT_CONFIGS[vit_size]
     return DinoVisionTransformer(
         embed_dim=cfg["embed_dim"], depth=cfg["depth"], num_heads=cfg["num_heads"],
-        dtype=dtype)
+        attention=attention, dtype=dtype)

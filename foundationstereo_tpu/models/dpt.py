@@ -118,13 +118,14 @@ class DepthAnythingFeature(nn.Module):
     (core/extractor.py:286-320). Input (B, H, W, 3) normalized RGB."""
 
     vit_size: str = "vitl"
+    attention: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, return_disp: bool = False):
         cfg = VIT_CONFIGS[self.vit_size]
         b, h, w, _ = x.shape
-        vit = make_vit(self.vit_size, dtype=self.dtype)
+        vit = make_vit(self.vit_size, dtype=self.dtype, attention=self.attention)
         outputs = vit.copy(name="pretrained")(x, cfg["intermediate_layers"])
         patch_tokens = [t for (t, _cls) in outputs]
         head = DPTHead(cfg["dpt_features"], cfg["dpt_out_channels"],

@@ -62,7 +62,9 @@ class Feature(nn.Module):
         H_r, W_r = get_resize_keep_aspect_ratio(H, W, divider=112,
                                                 max_H=1344, max_W=1344)
         x_vit = resize2d(x, (H_r, W_r), "bicubic", align_corners=False)
-        dino = DepthAnythingFeature(self.cfg.vit_size, dtype=self.dtype, name="dino")
+        dino = DepthAnythingFeature(self.cfg.vit_size,
+                                    attention=self.cfg.vit_attention,
+                                    dtype=self.dtype, name="dino")
         vit_out = dino(x_vit)["out"]
         vit_out = jax.lax.stop_gradient(vit_out)
         vit_feat = resize2d(vit_out, (H // 4, W // 4), "bilinear", align_corners=True)

@@ -49,6 +49,7 @@ from foundationstereo_tpu.ops.cost_volume import (
 from foundationstereo_tpu.ops.pallas_kernels import (
     build_cost_volume_pallas,
     disparity_lookup_pallas_pre,
+    disparity_lookup_pallas_sharded,
     to_kernel_layout,
 )
 from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
@@ -67,16 +68,30 @@ def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
     return (img.astype(jnp.float32) / 255.0 - mean) / std
 
 
-def _pallas_enabled(cfg: ModelConfig, train: bool) -> bool:
-    """Use the Pallas kernels on the single-chip TPU inference path (the
-    training and multi-chip paths stay on the partitionable, differentiable
-    XLA formulations)."""
+def _pallas_mode(cfg: ModelConfig, train: bool, w4: int) -> tuple[bool, str]:
+    """Pick kernel implementations for this trace.
+
+    Returns (costvol_pallas, lookup_mode) with lookup_mode one of:
+      "xla"            — differentiable XLA formulation (training, CPU);
+      "pallas"         — single-chip Pallas kernel;
+      "pallas_sharded" — shard_map'd Pallas kernel over the mesh 'spatial'
+                         axis (multi-chip inference; width-local, no halo).
+    The cost-volume Pallas kernel stays single-chip: its disparity sweep
+    reads right-feature columns up to max_disp/4 to the left, so a width-
+    sharded version needs a halo exchange; the XLA formulation is GSPMD-
+    partitionable as-is and costs ~15 ms/pair more at flagship scale.
+    """
     from foundationstereo_tpu.parallel.mesh import current_mesh
 
+    if not (cfg.use_pallas and not train and jax.default_backend() == "tpu"):
+        return False, "xla"
     mesh = current_mesh()
-    multi_chip = mesh is not None and mesh.devices.size > 1
-    return (cfg.use_pallas and not train and not multi_chip
-            and jax.default_backend() == "tpu")
+    if mesh is None or mesh.devices.size == 1:
+        return cfg.pallas_cost_volume, "pallas"
+    if ("spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+            and w4 % mesh.shape["spatial"] == 0):
+        return False, "pallas_sharded"
+    return False, "xla"
 
 
 class _RefineStep(nn.Module):
@@ -90,7 +105,7 @@ class _RefineStep(nn.Module):
     cfg: ModelConfig
     collect: bool
     train: bool
-    pallas: bool
+    lookup_mode: str  # "xla" | "pallas" | "pallas_sharded"
     dtype_: Any
 
     @nn.compact
@@ -99,10 +114,18 @@ class _RefineStep(nn.Module):
         dt = self.dtype_
         net_list, disp, _ = carry
         disp = jax.lax.stop_gradient(disp)
-        lookup = disparity_lookup_pallas_pre if self.pallas else disparity_lookup
-        geo_feat = lookup(
-            list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
-            disp, cfg.corr_radius)
+        if self.lookup_mode == "pallas_sharded":
+            from foundationstereo_tpu.parallel.mesh import current_mesh
+
+            geo_feat = disparity_lookup_pallas_sharded(
+                list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
+                disp, cfg.corr_radius, mesh=current_mesh())
+        else:
+            lookup = (disparity_lookup_pallas_pre
+                      if self.lookup_mode == "pallas" else disparity_lookup)
+            geo_feat = lookup(
+                list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
+                disp, cfg.corr_radius)
         update = BasicSelectiveMultiUpdateBlock(
             cfg.hidden_dims[0], cfg.n_gru_layers, dtype=dt, name="update_block")
         net_list, mask_feat, delta = update(
@@ -134,7 +157,14 @@ class FoundationStereo(nn.Module):
 
     @nn.compact
     def __call__(self, left, right, iters: int = 12, test_mode: bool = False,
+                 low_memory: bool = False,
                  init_disp: Optional[jnp.ndarray] = None, train: bool = False):
+        # `low_memory` is part of the reference forward contract
+        # (core/foundation_stereo.py:194); upstream it is threaded to
+        # bilinear_sampler where it is a no-op (core/utils/utils.py:44-55).
+        # Accepted here for API parity; XLA's scan-based refinement loop
+        # already bounds lookup memory, so there is nothing to gate.
+        del low_memory
         cfg = self.cfg
         dt = self.compute_dtype
         B, H, W, _ = left.shape
@@ -157,9 +187,10 @@ class FoundationStereo(nn.Module):
         # filtering below and inserts halo exchanges over ICI.
         features_left = [shard_batch(f) for f in features_left]
         features_right = [shard_batch(f) for f in features_right]
+        costvol_pallas, lookup_mode = _pallas_mode(cfg, train, W // 4)
         proj = Conv(12, 1, 1, 0, dtype=dt, name="proj_cmb")
         lproj, rproj = proj(features_left[0]), proj(features_right[0])
-        if _pallas_enabled(cfg, train) and cfg.pallas_cost_volume:
+        if costvol_pallas:
             comb = build_cost_volume_pallas(
                 features_left[0], features_right[0], lproj, rproj, D,
                 cfg.cv_group).astype(dt)
@@ -197,8 +228,7 @@ class FoundationStereo(nn.Module):
         corr_base = all_pairs_correlation(features_left[0], features_right[0])
         geo_pyramid = pool_last_axis(geo_base, cfg.corr_levels - 1)
         corr_pyramid = pool_last_axis(corr_base, cfg.corr_levels - 1)
-        use_pallas_lookup = _pallas_enabled(cfg, train)
-        if use_pallas_lookup:
+        if lookup_mode != "xla":
             # Kernel layout (width on lanes), computed once outside the scan.
             geo_pyramid, corr_pyramid = to_kernel_layout(geo_pyramid, corr_pyramid)
 
@@ -217,7 +247,7 @@ class FoundationStereo(nn.Module):
             out_axes=0,
             length=iters,
         )(cfg=cfg, collect=not test_mode, train=train,
-          pallas=use_pallas_lookup, dtype_=dt, name="refine")
+          lookup_mode=lookup_mode, dtype_=dt, name="refine")
 
         B4 = init_disp.shape[0]
         h4, w4 = init_disp.shape[1], init_disp.shape[2]

@@ -93,16 +93,22 @@ def to_kernel_layout(geo_pyramid, corr_pyramid):
 
 
 def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                x_offset=0) -> jnp.ndarray:
     """Lookup from kernel-layout pyramids (see :func:`to_kernel_layout`).
 
     geo_k: levels of (B, H, C, D_l, W); corr_k: (B, H, 1, W_l, W);
     disp: (B, H, W). Output matches ops.sampler.disparity_lookup:
     [geo_l0, corr_l0, ...], C-major taps-fastest, fp32.
+
+    ``x_offset`` is the global x coordinate of the first local column — 0 on
+    a single chip; under width sharding (shard_map over 'spatial') each shard
+    passes its global offset so the correlation lookup indexes the full-width
+    right-image axis correctly.
     """
     b, h, w = disp.shape
     disp_rows = disp.reshape(b * h, w)
-    coords = jnp.arange(w, dtype=jnp.float32)[None, :]
+    coords = jnp.arange(w, dtype=jnp.float32)[None, :] + x_offset
     K = 2 * radius + 1
     parts = []
     for i, (geo, corr) in enumerate(zip(geo_k, corr_k)):
@@ -119,6 +125,47 @@ def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
     # to a 9-element minor axis is catastrophically slow on TPU).
     feat = jnp.concatenate(parts, axis=1)            # (B*H, F, W)
     return feat.transpose(0, 2, 1).reshape(b, h, w, -1)
+
+
+def disparity_lookup_pallas_sharded(geo_k, corr_k, disp, radius: int, mesh,
+                                    axis: str = "spatial",
+                                    interpret: bool = False) -> jnp.ndarray:
+    """Width-sharded Pallas lookup: shard_map over the mesh 'spatial' axis.
+
+    The lookup is width-local — the geometry pyramids' sample axis is
+    disparity and the correlation pyramids carry the full right-image axis
+    (W2) per pixel — so sharding the *left* x axis (last axis of the kernel
+    layout) needs no halo exchange at all; each shard only needs its global
+    x offset for the correlation coordinates. This is the multi-chip fast
+    path that keeps the Pallas kernel active under a mesh (the cost-volume
+    build stays on the GSPMD-partitionable XLA formulation, whose measured
+    single-chip cost vs Pallas is ~15 ms/pair at flagship scale).
+    """
+    n = mesh.shape[axis]
+    b, h, w = disp.shape
+    assert w % n == 0, (w, n)
+    w_local = w // n
+    dspec = "data" if ("data" in mesh.axis_names
+                       and b % mesh.shape["data"] == 0
+                       and mesh.shape["data"] > 1) else None
+    spec5 = jax.sharding.PartitionSpec(dspec, None, None, None, axis)
+    spec3 = jax.sharding.PartitionSpec(dspec, None, axis)
+    out_spec = jax.sharding.PartitionSpec(dspec, None, axis, None)
+
+    def local(geo_l, corr_l, disp_l):
+        off = (jax.lax.axis_index(axis) * w_local).astype(jnp.float32)
+        return disparity_lookup_pallas_pre(list(geo_l), list(corr_l), disp_l,
+                                           radius, interpret=interpret,
+                                           x_offset=off)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(spec5 for _ in geo_k), tuple(spec5 for _ in corr_k),
+                  spec3),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return f(tuple(geo_k), tuple(corr_k), disp)
 
 
 def disparity_lookup_pallas(geo_pyramid, corr_pyramid, disp, radius: int,

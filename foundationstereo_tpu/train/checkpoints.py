@@ -48,6 +48,27 @@ class CheckpointManager:
         state = self._mgr.restore(int(step), args=ocp.args.StandardRestore(target))
         return state, int(step)
 
+    def restore_inference(self, step: int | str | None = "latest",
+                          use_ema: bool = False) -> tuple[dict, int]:
+        """Restore inference variables {params, batch_stats} from a saved
+        TrainState without needing a structure-matched target (orbax requires
+        exact tree matches otherwise). With ``use_ema`` the EMA weights are
+        served instead of the raw params — the reference's `{step}_ema.pt`
+        evaluation path (scripts/train.py:424-426,457-508)."""
+        if step in (None, "latest"):
+            step = self._mgr.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        raw = self._mgr.restore(int(step))
+        params = raw.get("params")
+        if use_ema:
+            ema = raw.get("ema_params")
+            if ema is None:
+                raise ValueError("checkpoint has no EMA weights (trained with --ema 0)")
+            params = ema
+        return ({"params": params, "batch_stats": raw.get("batch_stats") or {}},
+                int(step))
+
     def latest_step(self):
         return self._mgr.latest_step()
 

@@ -187,10 +187,16 @@ class Trainer:
         metrics = {key: jnp.mean(v) for key, v in metrics_stack.items()}
         return self._apply_grads(state, loss, metrics, new_bs, grads)
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: TrainState, batch: dict):
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def eval_step(self, state: TrainState, batch: dict, use_ema: bool = False):
+        """Test-mode forward + metrics; use_ema serves the EMA weights
+        (the reference evaluates its `{step}_ema.pt` checkpoints,
+        scripts/train.py:424-426,457-508)."""
+        params = state.params
+        if use_ema and state.ema_params is not None:
+            params = state.ema_params
         disp = self.model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats},
             batch["left"], batch["right"],
             iters=self.model_cfg.valid_iters, test_mode=True, train=False)
         return disp, L.compute_stereo_metrics(disp, batch["disparity"], batch["mask"])

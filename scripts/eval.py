@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--vit_size", default="vitl")
     ap.add_argument("--max_disp", type=int, default=416)
+    ap.add_argument("--ema", type=int, default=0,
+                    help="evaluate the checkpoint's EMA weights")
     ap.add_argument("--out", default=None, help="write per-frame metrics JSONL")
     args = ap.parse_args()
 
@@ -90,8 +92,10 @@ def main():
             if args.ckpt_dir:
                 from foundationstereo_tpu.train.checkpoints import CheckpointManager
                 mgr = CheckpointManager(args.ckpt_dir)
-                variables, step = mgr.restore("latest", variables)
-                print(f"restored step {step}", file=sys.stderr)
+                variables, step = mgr.restore_inference(
+                    "latest", use_ema=bool(args.ema))
+                print(f"restored step {step}"
+                      f"{' (EMA weights)' if args.ema else ''}", file=sys.stderr)
 
         t0 = time.perf_counter()
         if args.hiera:

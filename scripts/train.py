@@ -47,9 +47,27 @@ def main():
                     help="dump left|GT|prediction panels every N steps")
     ap.add_argument("--profile_steps", type=str, default="",
                     help="'start,stop' step range to capture a jax.profiler trace")
+    ap.add_argument("--override", action="append", default=[],
+                    help="dot-path config override, e.g. model.vit_size=vits "
+                         "or data.datasets.0.path=/tmp/data (JSON values)")
     args = ap.parse_args()
 
     config = json.loads(Path(args.config).read_text())
+    for ov in args.override:
+        path, _, raw = ov.partition("=")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node = config
+        keys = path.split(".")
+        for k in keys[:-1]:
+            node = node[int(k)] if isinstance(node, list) else node[k]
+        last = keys[-1]
+        if isinstance(node, list):
+            node[int(last)] = value
+        else:
+            node[last] = value
     workspace = Path(args.workspace)
     workspace.mkdir(parents=True, exist_ok=True)
     (workspace / "config.json").write_text(json.dumps(config, indent=2))

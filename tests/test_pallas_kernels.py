@@ -26,6 +26,31 @@ def test_lookup_kernel_matches_xla(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_lookup_matches_unsharded(rng):
+    """shard_map'd lookup over an 8-device 'spatial' width sharding equals
+    the plain lookup (incl. the global x-offset for the correlation axis)."""
+    import jax
+    from foundationstereo_tpu.ops.pallas_kernels import (
+        disparity_lookup_pallas_sharded,
+        to_kernel_layout,
+    )
+    from foundationstereo_tpu.parallel.mesh import make_mesh
+
+    b, h, w, c, d, levels, radius = 1, 4, 64, 6, 16, 3, 3
+    geo = jnp.asarray(rng.standard_normal((b, h, w, c, d)).astype(np.float32))
+    corr = jnp.asarray(rng.standard_normal((b, h, w, w)).astype(np.float32))
+    disp = jnp.asarray(rng.uniform(-2, d + 2, (b, h, w)).astype(np.float32))
+    gp = pool_last_axis(geo, levels - 1)
+    cp = pool_last_axis(corr, levels - 1)
+    ref = np.asarray(disparity_lookup(gp, cp, disp, radius))
+
+    mesh = make_mesh(len(jax.devices()))  # (data, spatial)
+    gk, ck = to_kernel_layout(gp, cp)
+    got = np.asarray(disparity_lookup_pallas_sharded(
+        gk, ck, disp, radius, mesh=mesh, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_cost_volume_kernel_matches_xla(rng):
     b, h, w, c, p, d, g = 1, 3, 24, 16, 4, 10, 4
     l = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))

@@ -1,0 +1,497 @@
+"""Module-level activation parity against the reference's own torch code.
+
+The reference tree is mounted read-only at /root/reference; its modules run
+here on CPU with flash-attn replaced by torch SDPA (the reference's own ONNX/
+TensorRT route, readme.md:100-107) and XFORMERS_DISABLED=1. Each test:
+
+  1. builds the standalone reference torch module and randomizes its weights
+     AND BatchNorm running statistics,
+  2. imports its state_dict through convert/torch_import (the same name map
+     used for real checkpoints, sliced by `submodule_rules`),
+  3. asserts the map covered everything (no missing / unmapped / mismatched),
+  4. runs both on the same input and asserts activation parity.
+
+This validates the converter's layout/semantics against real torch modules —
+the thing a synthesized-state-dict roundtrip cannot do.
+
+KNOWN BLOCKER (documented per VERDICT.md): the EdgeNeXt trunk cannot be
+parity-tested — the reference builds it via
+``timm.create_model('edgenext_small', pretrained=True)`` (core/extractor.py:327)
+and timm is not installed in this environment (and pretrained weights are not
+downloadable offline). A stub timm module satisfies the reference's
+module-level ``import timm`` only. See test_edgenext_parity_blocked.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from foundationstereo_tpu.config import ModelConfig  # noqa: E402
+from foundationstereo_tpu.convert.torch_import import (  # noqa: E402
+    apply_rules,
+    submodule_rules,
+)
+
+REF = "/root/reference"
+CFG = ModelConfig(max_disp=64, vit_size="vits", mixed_precision=False,
+                  use_pallas=False)
+
+
+class _Stub:
+    """Inert attribute sink for stubbed optional modules."""
+
+    def __init__(self, name):
+        self._name = name
+
+    def __getattr__(self, attr):
+        return _Stub(f"{self._name}.{attr}")
+
+    def __call__(self, *a, **kw):
+        raise ModuleNotFoundError(f"{self._name} is stubbed in tests")
+
+
+# ---------------------------------------------------------------------------
+# Reference import shims
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    os.environ["XFORMERS_DISABLED"] = "1"
+    if "flash_attn" not in sys.modules:
+        fa = types.ModuleType("flash_attn")
+
+        def flash_attn_func(q, k, v, *a, **kw):
+            # flash_attn layout (B, S, H, D) -> SDPA layout (B, H, S, D).
+            # Default softmax scale is 1/sqrt(head_dim) in both.
+            o = torch.nn.functional.scaled_dot_product_attention(
+                q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2))
+            return o.transpose(1, 2)
+
+        fa.flash_attn_func = flash_attn_func
+        fa.flash_attn_qkvpacked_func = None
+        sys.modules["flash_attn"] = fa
+    if "timm" not in sys.modules:
+        t = types.ModuleType("timm")
+
+        def create_model(*a, **kw):
+            raise ModuleNotFoundError(
+                "timm is not installed — EdgeNeXt parity blocked")
+
+        t.create_model = create_model
+        sys.modules["timm"] = t
+    # The reference's Utils.py imports a pile of unrelated tooling at module
+    # level (torchvision, trimesh, imageio, joblib, ...). Stub whatever is
+    # absent — none of it participates in the modules under test.
+    for name in ("torchvision", "trimesh", "imageio", "joblib", "cv2",
+                 "open3d", "matplotlib", "mlflow", "transformations",
+                 "pandas"):
+        try:
+            __import__(name)
+        except ImportError:
+            stub = types.ModuleType(name)
+            stub.__all__ = []  # allow `from X import *`
+            stub.__getattr__ = lambda attr, _n=name: _Stub(f"{_n}.{attr}")
+            sys.modules[name] = stub
+    for p in (REF, f"{REF}/dinov2"):
+        if p not in sys.path:
+            sys.path.append(p)
+    import core.extractor as ext
+    import core.foundation_stereo as fs
+    import core.geometry as geo
+    import core.submodule as sub
+    import core.update as upd
+
+    return types.SimpleNamespace(ext=ext, fs=fs, geo=geo, sub=sub, upd=upd)
+
+
+def randomize_(module: "torch.nn.Module", seed: int = 0):
+    """Random weights AND non-trivial BN running stats (eval-mode parity must
+    exercise running_mean/var, not the 0/1 defaults).
+
+    Weight std scales with 1/sqrt(fan_in) so activations stay O(1) through
+    deep stacks — fixed-std init makes the 12-block ViT + DPT head blow up to
+    ~1e7, where fp32 noise swamps any meaningful tolerance."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            if p.ndim >= 2:
+                fan_in = p.numel() // p.shape[0]
+                std = float(fan_in) ** -0.5
+            else:
+                std = 0.1
+            p.copy_(torch.empty_like(p).normal_(0.0, std, generator=g))
+        for name, b in module.named_buffers():
+            if name.endswith("running_var"):
+                b.copy_(torch.empty_like(b).uniform_(0.5, 1.5, generator=g))
+            elif name.endswith("running_mean"):
+                b.copy_(torch.empty_like(b).normal_(0.0, 0.2, generator=g))
+    module.eval()
+    return module
+
+
+def import_into(flax_module, init_args, sd, flax_prefix, torch_prefix,
+                allow_unused=()):
+    """Init the flax module, overlay the torch state_dict, assert coverage."""
+    variables = flax_module.init(jax.random.PRNGKey(0), *init_args)
+    rules = submodule_rules(CFG, flax_prefix, torch_prefix)
+    sd = {k: v.detach().numpy() for k, v in sd.items()}
+    variables, report = apply_rules(rules, sd, variables)
+    assert not report["missing_torch"], report["missing_torch"][:10]
+    assert not report["shape_mismatch"], report["shape_mismatch"][:5]
+    assert not report["unmapped_flax"], report["unmapped_flax"][:10]
+    unused = [k for k in report["unused_torch"]
+              if not k.endswith("num_batches_tracked")
+              and not any(a in k for a in allow_unused)]  # substring allow
+    assert not unused, unused[:10]
+    return variables
+
+
+def t2j(x):  # torch NCHW/NCDHW -> flax channel-last
+    a = x.detach().numpy()
+    return jnp.asarray(np.moveaxis(a, 1, -1))
+
+
+def j2t_like(y, ref_t):  # flax channel-last -> numpy NCHW for comparison
+    return np.moveaxis(np.asarray(y), -1, 1)
+
+
+def assert_close(ours_cl, theirs_t, rtol=1e-4, atol=1e-4):
+    theirs = theirs_t.detach().numpy()
+    ours = j2t_like(ours_cl, theirs_t)
+    np.testing.assert_allclose(ours, theirs, rtol=rtol, atol=atol)
+
+
+# ---------------------------------------------------------------------------
+# Cost filtering
+# ---------------------------------------------------------------------------
+
+
+def _ref_corr_stem(ref, volume_dim=28):
+    return torch.nn.Sequential(
+        torch.nn.Conv3d(32, volume_dim, kernel_size=1),
+        ref.sub.BasicConv(volume_dim, volume_dim, kernel_size=3, padding=1,
+                          is_3d=True),
+        ref.sub.ResnetBasicBlock3D(volume_dim, volume_dim, kernel_size=3,
+                                   stride=1, padding=1),
+        ref.sub.ResnetBasicBlock3D(volume_dim, volume_dim, kernel_size=3,
+                                   stride=1, padding=1),
+    )
+
+
+def test_corr_stem_parity(ref, rng):
+    from foundationstereo_tpu.models.cost_filter import CorrStem
+
+    tm = randomize_(_ref_corr_stem(ref))
+    x_t = torch.from_numpy(rng.standard_normal((1, 32, 8, 16, 16)).astype(np.float32))
+    with torch.no_grad():
+        y_t = tm(x_t)
+
+    fm = CorrStem(28)
+    x_j = t2j(x_t)
+    variables = import_into(fm, (x_j,), tm.state_dict(), "corr_stem", "corr_stem")
+    y_j = fm.apply(variables, x_j)
+    assert_close(y_j, y_t)
+
+
+def test_classifier_parity(ref, rng):
+    from foundationstereo_tpu.models.cost_filter import Classifier
+
+    vd = 28
+    tm = randomize_(torch.nn.Sequential(
+        ref.sub.BasicConv(vd, vd // 2, kernel_size=3, padding=1, is_3d=True),
+        ref.sub.ResnetBasicBlock3D(vd // 2, vd // 2, kernel_size=3, stride=1,
+                                   padding=1),
+        torch.nn.Conv3d(vd // 2, 1, kernel_size=7, padding=3),
+    ))
+    x_t = torch.from_numpy(rng.standard_normal((1, vd, 8, 16, 16)).astype(np.float32))
+    with torch.no_grad():
+        y_t = tm(x_t).squeeze(1)  # (B, D, H, W)
+
+    fm = Classifier(vd)
+    x_j = t2j(x_t)
+    variables = import_into(fm, (x_j,), tm.state_dict(), "classifier", "classifier")
+    y_j = fm.apply(variables, x_j)  # (B, D, H, W) already channel-squeezed
+    np.testing.assert_allclose(np.asarray(y_j), y_t.detach().numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_hourglass_parity(ref, rng):
+    """Full AHCF hourglass incl. APC convs, FeatureAtt gates, and the
+    disparity transformer (flash-attn swapped for SDPA)."""
+    from foundationstereo_tpu.models.cost_filter import Hourglass
+    from foundationstereo_tpu.models.extractor import feature_dims
+
+    d_out = feature_dims(CFG)  # [128, 192, 320, 304] for vits
+    tm = randomize_(ref.fs.hourglass(cfg={"max_disp": CFG.max_disp},
+                                     in_channels=28, feat_dims=d_out))
+    D, H4, W4 = 16, 32, 32
+    x_t = torch.from_numpy(rng.standard_normal((1, 28, D, H4, W4)).astype(np.float32))
+    feats_t = [torch.from_numpy(rng.standard_normal(
+        (1, ch, H4 * 4 // s, W4 * 4 // s)).astype(np.float32))
+        for s, ch in zip((4, 8, 16, 32), d_out)]
+    with torch.no_grad():
+        y_t = tm(x_t, feats_t)
+
+    fm = Hourglass(28, CFG.max_disp)
+    x_j = t2j(x_t)
+    feats_j = [t2j(f) for f in feats_t]
+    variables = import_into(fm, (x_j, feats_j), tm.state_dict(),
+                            "cost_agg", "cost_agg")
+    y_j = fm.apply(variables, x_j, feats_j)
+    assert_close(y_j, y_t, rtol=1e-3, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Update block / attention gates
+# ---------------------------------------------------------------------------
+
+
+def test_update_block_parity(ref, rng):
+    from foundationstereo_tpu.models.update import BasicSelectiveMultiUpdateBlock
+
+    args = types.SimpleNamespace(n_gru_layers=3, corr_levels=4, corr_radius=4)
+    tm = randomize_(ref.upd.BasicSelectiveMultiUpdateBlock(args, 128, volume_dim=28))
+    H, W = 16, 24
+    mk = lambda c, s=1: torch.from_numpy(  # noqa: E731
+        rng.standard_normal((1, c, H // s, W // s)).astype(np.float32))
+    net_t = [mk(128, 1), mk(128, 2), mk(128, 4)]
+    inp_t = [mk(128, 1), mk(128, 2), mk(128, 4)]
+    att_t = [torch.sigmoid(mk(1, 1)), torch.sigmoid(mk(1, 2)), torch.sigmoid(mk(1, 4))]
+    corr_t = mk(4 * 9 * 29, 1)
+    disp_t = mk(1, 1)
+    with torch.no_grad():
+        net_out_t, mask_t, delta_t = tm([t.clone() for t in net_t], inp_t,
+                                        corr_t, disp_t, att_t)
+
+    fm = BasicSelectiveMultiUpdateBlock(128, 3)
+    to = lambda ts: [t2j(t) for t in ts]  # noqa: E731
+    init_args = (to(net_t), to(inp_t), t2j(corr_t), t2j(disp_t), to(att_t))
+    variables = import_into(fm, init_args, tm.state_dict(),
+                            "refine/update_block", "update_block")
+    net_out_j, mask_j, delta_j = fm.apply(variables, *init_args)
+    # fp32 conv accumulation order differs between backends; the 1044-ch
+    # motion encoder + saturating GRU gates amplify that to ~5e-3 on a
+    # handful of elements (0.01% at rtol 1e-4) — tolerate it.
+    for ours, theirs in zip(net_out_j, net_out_t):
+        assert_close(ours, theirs, rtol=2e-3, atol=6e-3)
+    assert_close(mask_j, mask_t, rtol=2e-3, atol=6e-3)
+    assert_close(delta_j, delta_t, rtol=2e-3, atol=6e-3)
+
+
+def test_cam_sam_parity(ref, rng):
+    from foundationstereo_tpu.models.layers import (
+        ChannelAttentionEnhancement,
+        SpatialAttentionExtractor,
+    )
+
+    x_t = torch.from_numpy(rng.standard_normal((2, 128, 16, 24)).astype(np.float32))
+    x_j = t2j(x_t)
+
+    cam_t = randomize_(ref.sub.ChannelAttentionEnhancement(128))
+    with torch.no_grad():
+        y_t = cam_t(x_t)
+    cam_j = ChannelAttentionEnhancement()
+    variables = import_into(cam_j, (x_j,), cam_t.state_dict(), "cam", "cam")
+    assert_close(cam_j.apply(variables, x_j), y_t)
+
+    sam_t = randomize_(ref.sub.SpatialAttentionExtractor())
+    with torch.no_grad():
+        y_t = sam_t(x_t)
+    sam_j = SpatialAttentionExtractor()
+    variables = import_into(sam_j, (x_j,), sam_t.state_dict(), "sam", "sam")
+    assert_close(sam_j.apply(variables, x_j), y_t)
+
+
+# ---------------------------------------------------------------------------
+# Context network
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_context_net_parity(ref, rng):
+    from foundationstereo_tpu.models.extractor import ContextNetDino
+
+    args = types.SimpleNamespace(vit_size="vits")
+    hd = list(CFG.hidden_dims)
+    tm = randomize_(ref.ext.ContextNetDino(args, output_dim=[hd, hd],
+                                           downsample=CFG.n_downsample))
+    H, W = 64, 96
+    x_t = torch.from_numpy(rng.standard_normal((1, 3, H, W)).astype(np.float32))
+    vit_t = torch.from_numpy(rng.standard_normal(
+        (1, CFG.vit_feat_dim, H // 4, W // 4)).astype(np.float32))
+    with torch.no_grad():
+        o04_t, o08_t, o16_t = tm(x_t, vit_feat=vit_t, num_layers=3)
+
+    fm = ContextNetDino(CFG)
+    x_j, vit_j = t2j(x_t), t2j(vit_t)
+    # down./norm. are vestigial (built, never called: core/extractor.py:229-235);
+    # norm3 is the downsample norm under its alias name (state_dict holds both
+    # `layerN.0.norm3.*` and the mapped `layerN.0.downsample.1.*`).
+    variables = import_into(fm, (x_j, vit_j), tm.state_dict(), "cnet", "cnet",
+                            allow_unused=("down.", "norm.", ".norm3."))
+    o04_j, o08_j, o16_j = fm.apply(variables, x_j, vit_j)
+    for (h_j, c_j), (h_t, c_t) in zip((o04_j, o08_j, o16_j),
+                                      (o04_t, o08_t, o16_t)):
+        assert_close(h_j, h_t, rtol=1e-3, atol=2e-4)
+        assert_close(c_j, c_t, rtol=1e-3, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Feature pyramid fusion (EdgeNeXt trunk itself is blocked — see below)
+# ---------------------------------------------------------------------------
+
+
+def test_feature_fusion_parity(ref, rng):
+    """Conv2x_IN deconv fusion stages of the STA extractor
+    (core/extractor.py:336-338) — everything downstream of EdgeNeXt."""
+    from foundationstereo_tpu.models.layers import Conv2xIN
+
+    tm = randomize_(ref.ext.Conv2x_IN(304, 160, deconv=True, concat=True))
+    x_t = torch.from_numpy(rng.standard_normal((1, 304, 4, 6)).astype(np.float32))
+    rem_t = torch.from_numpy(rng.standard_normal((1, 160, 8, 12)).astype(np.float32))
+    with torch.no_grad():
+        y_t = tm(x_t, rem_t)
+
+    fm = Conv2xIN(160)
+    x_j, rem_j = t2j(x_t), t2j(rem_t)
+    variables = import_into(fm, (x_j, rem_j), tm.state_dict(),
+                            "feature/deconv32_16", "feature.deconv32_16")
+    y_j = fm.apply(variables, x_j, rem_j)
+    assert_close(y_j, y_t)
+
+
+def test_stem2_parity(ref, rng):
+    from foundationstereo_tpu.models.extractor import Stem2
+
+    tm = randomize_(torch.nn.Sequential(
+        ref.sub.BasicConv_IN(3, 32, kernel_size=3, stride=2, padding=1),
+        torch.nn.Conv2d(32, 32, 3, 1, 1, bias=False),
+        torch.nn.InstanceNorm2d(32), torch.nn.ReLU(),
+    ))
+    x_t = torch.from_numpy(rng.standard_normal((1, 3, 32, 48)).astype(np.float32))
+    with torch.no_grad():
+        y_t = tm(x_t)
+    fm = Stem2()
+    x_j = t2j(x_t)
+    variables = import_into(fm, (x_j,), tm.state_dict(), "stem_2", "stem_2")
+    assert_close(fm.apply(variables, x_j), y_t)
+
+
+def test_edgenext_parity_blocked(ref):
+    """DOCUMENTED BLOCKER: the reference's EdgeNeXt trunk comes from
+    timm.create_model('edgenext_small', pretrained=True)
+    (core/extractor.py:327); timm is not installed and pretrained weights are
+    not fetchable offline, so trunk activation parity cannot be established
+    here. The converter flags all EdgeNeXt entries as `uncertain`."""
+    with pytest.raises(ModuleNotFoundError):
+        import timm  # noqa: F401  (stub installed by the `ref` fixture)
+
+        timm.create_model("edgenext_small", pretrained=True)
+
+
+# ---------------------------------------------------------------------------
+# Geometry lookup
+# ---------------------------------------------------------------------------
+
+
+def test_geometry_lookup_parity(ref, rng):
+    """Combined_Geo_Encoding_Volume: pyramid construction + per-step lookup
+    (all-pairs corr, avg-pool pyramids, grid_sample taps) vs our gather-free
+    tent-weight formulation."""
+    from foundationstereo_tpu.ops.cost_volume import all_pairs_correlation
+    from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
+
+    B, C, H, W, D = 1, 16, 8, 32, 16
+    fl = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    fr = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    vol = rng.standard_normal((B, 28, D, H, W)).astype(np.float32)
+    disp = (rng.uniform(0, D - 1, (B, H, W))).astype(np.float32)
+
+    r = 4
+    dx = torch.linspace(-r, r, 2 * r + 1).reshape(1, 1, 2 * r + 1, 1)
+    geo_fn = ref.geo.Combined_Geo_Encoding_Volume(
+        torch.from_numpy(fl), torch.from_numpy(fr), torch.from_numpy(vol),
+        num_levels=4, dx=dx)
+    coords = torch.arange(W, dtype=torch.float).reshape(1, 1, W, 1).repeat(B, H, 1, 1)
+    with torch.no_grad():
+        y_t = geo_fn(torch.from_numpy(disp)[:, None], coords)  # (B, 1044, H, W)
+
+    fl_j = jnp.asarray(np.moveaxis(fl, 1, -1))
+    fr_j = jnp.asarray(np.moveaxis(fr, 1, -1))
+    geo_base = jnp.asarray(vol).transpose(0, 3, 4, 1, 2)  # (B,H,W,C,D)
+    corr_base = all_pairs_correlation(fl_j, fr_j)
+    y_j = disparity_lookup(pool_last_axis(geo_base, 3),
+                           pool_last_axis(corr_base, 3),
+                           jnp.asarray(disp), radius=r)
+    assert_close(y_j, y_t, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Frozen backbone: DINOv2 ViT + DPT head
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_dino_dpt_parity(ref, rng):
+    """DepthAnything 'out' feature parity: vendored DINOv2 ViT-S (SDPA path,
+    XFORMERS_DISABLED=1) + DPT head vs our flax DepthAnythingFeature. The
+    112x112 input forces pos-embed bicubic interpolation (37x37 -> 8x8) with
+    the reference's +0.1 offset kludge (vision_transformer.py:195-209)."""
+    from dinov2.models.vision_transformer import vit_small
+
+    sys.path.append(REF)  # depth_anything package
+    from depth_anything.dpt import DPTHead as RefDPTHead
+
+    from foundationstereo_tpu.models.dpt import DepthAnythingFeature
+
+    class Wrapper(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pretrained = vit_small(
+                img_size=518, patch_size=14, init_values=1.0,
+                ffn_layer="mlp", block_chunks=0, num_register_tokens=0,
+                interpolate_antialias=False, interpolate_offset=0.1)
+            self.depth_head = RefDPTHead(
+                1, 384, features=64, use_bn=False,
+                out_channels=[48, 96, 192, 384], use_clstoken=False)
+
+        def forward(self, x):
+            feats = self.pretrained.get_intermediate_layers(
+                x, [2, 5, 8, 11], return_class_token=True)
+            h, w = x.shape[-2:]
+            out = self.depth_head.forward(feats, h // 14, w // 14,
+                                          return_intermediate=True)
+            return out[0], out[5]  # 'out' feature, disp
+
+    tm = randomize_(Wrapper())
+    x_t = torch.from_numpy(rng.standard_normal((1, 3, 112, 112)).astype(np.float32))
+    with torch.no_grad():
+        out_t, disp_t = tm(x_t)
+
+    fm = DepthAnythingFeature("vits")
+    x_j = t2j(x_t)
+    variables = import_into(
+        fm, (x_j,), tm.state_dict(), "feature/dino",
+        "feature.dino.depth_anything",
+        allow_unused=(
+            "pretrained.mask_token",             # SSL-only buffer
+            "depth_head.scratch.output_conv2",   # disp head (return_disp off)
+            # torch FeatureFusionBlock always builds resConfUnit1; refinenet4
+            # is called without a skip so it never runs (blocks.py:95-153).
+            "depth_head.scratch.refinenet4.resConfUnit1"))
+    out_j = fm.apply(variables, x_j)["out"]
+    assert_close(out_j, out_t, rtol=1e-3, atol=1e-3)
