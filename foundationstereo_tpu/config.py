@@ -39,6 +39,14 @@ class ModelConfig:
     valid_iters: int = 32         # GRU iterations during inference
     use_pallas: bool = True       # Pallas kernels on the TPU inference path
     pallas_cost_volume: bool = True  # Pallas for the cost-volume build too
+    # One lookup dispatch per GRU iteration (vs 8). Measured slightly SLOWER
+    # than per-level kernels on v5e (bench_logs/sol_r2b.json: 7.7 vs
+    # 6.2 ms/iter — the all-levels VMEM working set limits row pipelining),
+    # so default off; kept for future tuning.
+    fused_lookup: bool = False
+    bf16_pyramids: bool = True    # bf16 geometry/corr pyramids on the Pallas
+                                  # path (halves refine-loop HBM traffic;
+                                  # fp32 accumulation inside the kernel)
     # ViT self-attention implementation over the ~5-9k patch tokens (the #1
     # FLOPs consumer; reference uses xformers/flash-attn,
     # dinov2/dinov2/layers/attention.py:82-99). "auto" resolves to the Pallas

@@ -48,6 +48,7 @@ from foundationstereo_tpu.ops.cost_volume import (
 )
 from foundationstereo_tpu.ops.pallas_kernels import (
     build_cost_volume_pallas,
+    disparity_lookup_pallas_fused,
     disparity_lookup_pallas_pre,
     disparity_lookup_pallas_sharded,
     to_kernel_layout,
@@ -119,11 +120,16 @@ class _RefineStep(nn.Module):
 
             geo_feat = disparity_lookup_pallas_sharded(
                 list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
-                disp, cfg.corr_radius, mesh=current_mesh())
-        else:
-            lookup = (disparity_lookup_pallas_pre
-                      if self.lookup_mode == "pallas" else disparity_lookup)
+                disp, cfg.corr_radius, mesh=current_mesh(),
+                fused=cfg.fused_lookup, out_dtype=dt)
+        elif self.lookup_mode == "pallas":
+            lookup = (disparity_lookup_pallas_fused if cfg.fused_lookup
+                      else disparity_lookup_pallas_pre)
             geo_feat = lookup(
+                list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
+                disp, cfg.corr_radius, out_dtype=dt)
+        else:
+            geo_feat = disparity_lookup(
                 list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
                 disp, cfg.corr_radius)
         update = BasicSelectiveMultiUpdateBlock(
@@ -229,8 +235,11 @@ class FoundationStereo(nn.Module):
         geo_pyramid = pool_last_axis(geo_base, cfg.corr_levels - 1)
         corr_pyramid = pool_last_axis(corr_base, cfg.corr_levels - 1)
         if lookup_mode != "xla":
-            # Kernel layout (width on lanes), computed once outside the scan.
-            geo_pyramid, corr_pyramid = to_kernel_layout(geo_pyramid, corr_pyramid)
+            # Kernel layout (width on lanes), computed once outside the scan;
+            # bf16 halves the dominant per-iteration lookup traffic.
+            pyr_dt = jnp.bfloat16 if cfg.bf16_pyramids else jnp.float32
+            geo_pyramid, corr_pyramid = to_kernel_layout(
+                geo_pyramid, corr_pyramid, dtype=pyr_dt)
 
         # --- Iterative refinement (single-trace lax.scan over iterations) ----
         # The step is traced/compiled once regardless of `iters` (vs the

@@ -81,20 +81,116 @@ def lookup_level_pallas(vol: jnp.ndarray, disp: jnp.ndarray, radius: int,
     )(disp, vol)
 
 
-def to_kernel_layout(geo_pyramid, corr_pyramid):
+def to_kernel_layout(geo_pyramid, corr_pyramid, dtype=jnp.float32):
     """(B,H,W,C,D)/(B,H,W,W2) pyramids -> kernel layout (B,H,C,D,W)/(B,H,1,W2,W).
 
     Done once per forward (outside the GRU scan) so the per-iteration kernels
-    read the pyramids directly with width on the lane axis.
+    read the pyramids directly with width on the lane axis. ``dtype=bfloat16``
+    halves the dominant per-iteration HBM traffic of the refinement loop (the
+    kernels accumulate in fp32 regardless).
     """
-    geo_k = [g.astype(jnp.float32).transpose(0, 1, 3, 4, 2) for g in geo_pyramid]
-    corr_k = [c.astype(jnp.float32).transpose(0, 1, 3, 2)[:, :, None] for c in corr_pyramid]
+    geo_k = [g.astype(dtype).transpose(0, 1, 3, 4, 2) for g in geo_pyramid]
+    corr_k = [c.astype(dtype).transpose(0, 1, 3, 2)[:, :, None] for c in corr_pyramid]
     return geo_k, corr_k
+
+
+def _lookup_fused_kernel(disp_ref, xc_ref, *refs, radius: int, n_levels: int):
+    """All pyramid levels of one image row in a single kernel launch.
+
+    refs = (g_0..g_{L-1}, c_0..c_{L-1}, out_g0, out_c0, ..., out_g{L-1}, ...):
+    g_i (1, C, D_i, W), c_i (1, 1, W2_i, W); outputs (1, C, K, W)/(1, 1, K, W).
+    One dispatch per GRU iteration instead of 2*L (dispatch + grid overheads
+    amortize, and the disp row loads once).
+    """
+    r = radius
+    vols = refs[:2 * n_levels]
+    outs = refs[2 * n_levels:]
+    disp = disp_ref[0, 0, :].astype(jnp.float32)   # (W,)
+    xc = xc_ref[0, 0, :].astype(jnp.float32)       # (W,) corr coordinate
+
+    for i in range(n_levels):
+        scale = 1.0 / (2.0 ** i)
+        for vol_ref, out_ref, x in ((vols[i], outs[2 * i], disp * scale),
+                                    (vols[n_levels + i], outs[2 * i + 1],
+                                     xc * scale)):
+            C, D, W = vol_ref.shape[1], vol_ref.shape[2], vol_ref.shape[3]
+            j = jax.lax.broadcasted_iota(
+                jnp.int32, (D + 2 * r, W), 0).astype(jnp.float32) - float(r)
+            text = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - j))
+
+            def body(c, carry, vol_ref=vol_ref, out_ref=out_ref, text=text, D=D):
+                vol_c = vol_ref[0, c].astype(jnp.float32)      # (D, W)
+                for k in range(-r, r + 1):
+                    t_k = text[r - k : r - k + D, :]
+                    out_ref[0, c, k + r, :] = jnp.sum(vol_c * t_k, axis=0)
+                return carry
+
+            jax.lax.fori_loop(0, C, body, None)
+
+
+def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
+                                  interpret: bool = False,
+                                  x_offset=0, out_dtype=jnp.float32) -> jnp.ndarray:
+    """Single-dispatch-per-iteration lookup (all levels in one pallas_call).
+
+    Same contract as :func:`disparity_lookup_pallas_pre`. REQUIRES 2-byte
+    kernel layouts (``to_kernel_layout(..., dtype=bfloat16)``) at flagship
+    scale — the fp32 working set of all levels double-buffers to ~24 MB/row,
+    over the 16 MB VMEM budget (measured compile failure); bf16 fits.
+    Falls back to the per-level kernels for wider dtypes.
+    """
+    if jnp.dtype(geo_k[0].dtype).itemsize > 2:
+        return disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius,
+                                           interpret=interpret,
+                                           x_offset=x_offset,
+                                           out_dtype=out_dtype)
+    b, h, w = disp.shape
+    R = b * h
+    K = 2 * radius + 1
+    n_levels = len(geo_k)
+    disp_rows = disp.reshape(R, 1, w)
+    xc_rows = (jnp.arange(w, dtype=jnp.float32)[None, None, :] + x_offset
+               - disp_rows)
+
+    vols = ([g.reshape(R, g.shape[2], g.shape[3], w) for g in geo_k]
+            + [c.reshape(R, 1, c.shape[3], w) for c in corr_k])
+    kernel = functools.partial(_lookup_fused_kernel, radius=radius,
+                               n_levels=n_levels)
+
+    def vspec(v):
+        return pl.BlockSpec((1,) + v.shape[1:], lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes, out_specs = [], []
+    for i in range(n_levels):
+        for C in (geo_k[i].shape[2], 1):
+            out_shapes.append(jax.ShapeDtypeStruct((R, C, K, w), jnp.float32))
+            out_specs.append(pl.BlockSpec((1, C, K, w), lambda i: (i, 0, 0, 0),
+                                          memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=[pl.BlockSpec((1, 1, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2
+        + [vspec(v) for v in vols],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(disp_rows, xc_rows, *vols)
+
+    parts = []
+    for i in range(n_levels):
+        g, c = outs[2 * i], outs[2 * i + 1]
+        parts.append(g.reshape(R, -1, w).astype(out_dtype))   # (R, C*K, W)
+        parts.append(c.reshape(R, K, w).astype(out_dtype))
+    feat = jnp.concatenate(parts, axis=1)
+    return feat.transpose(0, 2, 1).reshape(b, h, w, -1)
 
 
 def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
                                 interpret: bool = False,
-                                x_offset=0) -> jnp.ndarray:
+                                x_offset=0, out_dtype=jnp.float32) -> jnp.ndarray:
     """Lookup from kernel-layout pyramids (see :func:`to_kernel_layout`).
 
     geo_k: levels of (B, H, C, D_l, W); corr_k: (B, H, 1, W_l, W);
@@ -122,14 +218,20 @@ def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
                                 xc, radius, scale, interpret=interpret)
         parts.append(c.reshape(b * h, K, w))
     # One channel-concat + one large-minor transpose (a per-level transpose
-    # to a 9-element minor axis is catastrophically slow on TPU).
+    # to a 9-element minor axis is catastrophically slow on TPU). The
+    # epilogue dominates the per-iteration cost at fp32 — cast to the
+    # consumer's dtype first (the motion encoder runs bf16 under mixed
+    # precision anyway), halving concat+transpose traffic.
+    parts = [p.astype(out_dtype) for p in parts]
     feat = jnp.concatenate(parts, axis=1)            # (B*H, F, W)
     return feat.transpose(0, 2, 1).reshape(b, h, w, -1)
 
 
 def disparity_lookup_pallas_sharded(geo_k, corr_k, disp, radius: int, mesh,
                                     axis: str = "spatial",
-                                    interpret: bool = False) -> jnp.ndarray:
+                                    interpret: bool = False,
+                                    fused: bool = True,
+                                    out_dtype=jnp.float32) -> jnp.ndarray:
     """Width-sharded Pallas lookup: shard_map over the mesh 'spatial' axis.
 
     The lookup is width-local — the geometry pyramids' sample axis is
@@ -152,11 +254,12 @@ def disparity_lookup_pallas_sharded(geo_k, corr_k, disp, radius: int, mesh,
     spec3 = jax.sharding.PartitionSpec(dspec, None, axis)
     out_spec = jax.sharding.PartitionSpec(dspec, None, axis, None)
 
+    lookup = disparity_lookup_pallas_fused if fused else disparity_lookup_pallas_pre
+
     def local(geo_l, corr_l, disp_l):
         off = (jax.lax.axis_index(axis) * w_local).astype(jnp.float32)
-        return disparity_lookup_pallas_pre(list(geo_l), list(corr_l), disp_l,
-                                           radius, interpret=interpret,
-                                           x_offset=off)
+        return lookup(list(geo_l), list(corr_l), disp_l, radius,
+                      interpret=interpret, x_offset=off, out_dtype=out_dtype)
 
     f = jax.shard_map(
         local, mesh=mesh,

@@ -145,18 +145,23 @@ def main():
         gk, ck = to_kernel_layout(list(gp), list(cp))
         gk, ck = tuple(gk), tuple(ck)
 
-        def scan_of(lookup, g, c):
-            def step(d, _):
-                feat = lookup(list(g), list(c), d, 4)
-                return d + 1e-4 * feat[..., 0], None
-            return jax.jit(lambda d: jax.lax.scan(step, d, None, length=args.iters)[0])
+        def scan_of(lookup):
+            # Pyramids must be jit ARGUMENTS: closed-over pyramids get
+            # constant-folded by XLA and the multi-hundred-MB folds take
+            # tens of minutes at compile time (round-2 finding).
+            def run(d, g, c):
+                def step(d, _):
+                    feat = lookup(list(g), list(c), d, 4)
+                    return d + 1e-4 * feat[..., 0], None
+                return jax.lax.scan(step, d, None, length=args.iters)[0]
+            return jax.jit(run)
 
         if on_tpu:
             timed(f"E lookup_pallas x{args.iters}",
-                  lambda: (scan_of(disparity_lookup_pallas_pre, gk, ck),),
-                  lambda s: s[0](disp0))
+                  lambda: (scan_of(disparity_lookup_pallas_pre),),
+                  lambda s: s[0](disp0, gk, ck))
         timed(f"E lookup_xla x{args.iters}",
-              lambda: (scan_of(disparity_lookup, gp, cp),), lambda s: s[0](disp0))
+              lambda: (scan_of(disparity_lookup),), lambda s: s[0](disp0, gp, cp))
 
     if "F" in stages:  # full model
         from foundationstereo_tpu.models.foundation_stereo import FoundationStereo

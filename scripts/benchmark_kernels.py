@@ -23,15 +23,27 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # v5e per-chip peaks (public specs); override via env/flags for other gens.
+# NOTE: a raw bf16 matmul probe on this tunnelled chip sustains ~24 TFLOP/s
+# (scripts/bench_vit_full.py), so flops-limited rooflines built from the
+# public peak are upper bounds well above what the device delivers.
 HBM_GBPS = 819.0
-BF16_TFLOPS = 394.0
-FP32_TFLOPS = 98.5  # MXU fp32 ~= 1/4 bf16 on v5e
+BF16_TFLOPS = 197.0
+FP32_TFLOPS = 49.0  # MXU fp32 ~= 1/4 bf16 on v5e
+
+
+def emit(results, name, t, sol):
+    import jax
+    row = {"kernel": name, "time_s": round(t, 5), "sol_s": round(sol, 5),
+           "sol_frac": round(sol / t, 4) if t > 0 else 0.0,
+           "backend": jax.default_backend()}
+    results.append(row)
+    print(json.dumps(row), flush=True)
 
 
 def timeit(fn, reps):
     import jax
     import jax.numpy as jnp
-    fn()  # compile
+    float(jnp.sum(fn()))  # compile + fenced first run (overlap wedges the device)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -61,7 +73,8 @@ def main():
     )
     from foundationstereo_tpu.ops.pallas_kernels import (
         build_cost_volume_pallas,
-        disparity_lookup_pallas,
+        disparity_lookup_pallas_pre,
+        to_kernel_layout,
     )
     from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
 
@@ -93,16 +106,16 @@ def main():
     k1_sol = max(k1_sol, k1_flops / (FP32_TFLOPS * 1e12))
 
     if args.impl in ("pallas", "both"):
-        f = jax.jit(lambda: build_cost_volume_pallas(left, right, lp, rp, D, G,
-                                                     interpret=interp))
-        t = timeit(f, args.reps)
-        results.append(("cost_volume_pallas", t, k1_sol))
+        f = jax.jit(lambda a, b, c, d: build_cost_volume_pallas(
+            a, b, c, d, D, G, interpret=interp))
+        t = timeit(lambda: f(left, right, lp, rp), args.reps)
+        emit(results, "cost_volume_pallas", t, k1_sol)
     if args.impl in ("xla", "both"):
-        f = jax.jit(lambda: jnp.concatenate(
-            [build_gwc_volume(left, right, D, G),
-             build_concat_volume(lp, rp, D)], axis=-1))
-        t = timeit(f, args.reps)
-        results.append(("cost_volume_xla", t, k1_sol))
+        f = jax.jit(lambda a, b, c, d: jnp.concatenate(
+            [build_gwc_volume(a, b, D, G),
+             build_concat_volume(c, d, D)], axis=-1))
+        t = timeit(lambda: f(left, right, lp, rp), args.reps)
+        emit(results, "cost_volume_xla", t, k1_sol)
 
     # --- k2: lookup (one GRU iteration x args.iters scan) ------------------
     # Minimal traffic per iteration: read the pyramids once.
@@ -111,27 +124,42 @@ def main():
     k2_sol = args.iters * pyr_bytes / (HBM_GBPS * 1e9)
 
     def scan_lookup(lookup_fn):
-        def step(d, _):
-            feat = lookup_fn(list(gp), list(cp), d, R)
-            return d + 1e-4 * feat[..., 0], None
-        return jax.jit(lambda d0: jax.lax.scan(step, d0, None, length=args.iters)[0])
+        # The pyramids MUST be jit arguments, not closed-over constants —
+        # XLA constant-folds closures, and folding the multi-hundred-MB
+        # pyramid transposes takes tens of minutes at compile time.
+        def run(d0, g, c):
+            def step(d, _):
+                feat = lookup_fn(list(g), list(c), d, R)
+                return d + 1e-4 * feat[..., 0], None
+            return jax.lax.scan(step, d0, None, length=args.iters)[0]
+        return jax.jit(run)
 
     if args.impl in ("pallas", "both"):
-        f = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas(
+        from foundationstereo_tpu.ops.pallas_kernels import (
+            disparity_lookup_pallas_fused,
+        )
+        # Kernel layout computed ONCE outside the scan (as the model does).
+        gk, ck = to_kernel_layout(list(gp), list(cp))
+        gk, ck = tuple(gk), tuple(ck)
+        f = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_pre(
             g, c, d, r, interpret=interp))
-        t = timeit(lambda: f(disp), args.reps)
-        results.append((f"lookup_pallas_x{args.iters}", t, k2_sol))
+        t = timeit(lambda: f(disp, gk, ck), args.reps)
+        emit(results, f"lookup_pallas_x{args.iters}", t, k2_sol)
+        # bf16 layouts halve the per-iteration pyramid traffic.
+        gk16, ck16 = to_kernel_layout(list(gp), list(cp), dtype=jnp.bfloat16)
+        gk16, ck16 = tuple(gk16), tuple(ck16)
+        t = timeit(lambda: f(disp, gk16, ck16), args.reps)
+        emit(results, f"lookup_pallas_bf16_x{args.iters}", t, k2_sol / 2)
+        # Fused kernel needs bf16 layouts (fp32 overflows VMEM — see kernel doc).
+        ff = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_fused(
+            g, c, d, r, interpret=interp))
+        t = timeit(lambda: ff(disp, gk16, ck16), args.reps)
+        emit(results, f"lookup_pallas_fused_bf16_x{args.iters}", t, k2_sol / 2)
     if args.impl in ("xla", "both"):
         f = scan_lookup(disparity_lookup)
-        t = timeit(lambda: f(disp), args.reps)
-        results.append((f"lookup_xla_x{args.iters}", t, k2_sol))
+        t = timeit(lambda: f(disp, gp, cp), args.reps)
+        emit(results, f"lookup_xla_x{args.iters}", t, k2_sol)
 
-    for name, t, sol in results:
-        print(json.dumps({
-            "kernel": name, "time_s": round(t, 5), "sol_s": round(sol, 5),
-            "sol_frac": round(sol / t, 4) if t > 0 else 0.0,
-            "backend": jax.default_backend(),
-        }))
 
 
 if __name__ == "__main__":
