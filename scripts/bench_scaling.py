@@ -38,9 +38,24 @@ def main():
                     help="0 = one pair per data-parallel group")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force an 8-virtual-device CPU mesh (env vars alone "
+                         "are ignored — sitecustomize pins the TPU backend)")
     args = ap.parse_args()
 
+    import os
+
+    if args.cpu:
+        n_max = max(int(s) for s in args.sizes.split(","))
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_max}").strip()
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from foundationstereo_tpu.config import ModelConfig
