@@ -237,6 +237,11 @@ class StereoTrainDataLoaderPipeline:
             hi = max(r[1] for r in ranges)
             ar = random.uniform(lo, hi)
             width, height = int((area * ar) ** 0.5), int((area / ar) ** 0.5)
+            # Snap sampled sizes to /32 buckets so each bucket compiles one
+            # device program (the reference samples arbitrary sizes and eats
+            # a fresh CUDA graph per batch; XLA would recompile instead).
+            width = max(32, int(round(width / 32)) * 32)
+            height = max(32, int(round(height / 32)) * 32)
         for inst in batch:
             inst["width"], inst["height"] = width, height
         return batch

@@ -56,6 +56,7 @@ def test_reference_configs_translate_1to1(name):
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("heavy_subprocess")
 def test_readme_train_command_runs(tmp_path, rng):
     """`scripts/train.py --config configs/train/stereo_v1.json` executes ≥2
     steps on synthetic data (model shrunk via --override to keep CPU time

@@ -57,6 +57,7 @@ def test_sharded_gwc_matches_single_device(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("heavy_subprocess")
 def test_dryrun_multichip():
     import importlib.util
 

@@ -73,6 +73,46 @@ def _run_train(tmp_path, cfg_path, steps, ckpt="none"):
 
 
 @pytest.mark.slow
+@pytest.mark.xdist_group("heavy_subprocess")
+def test_one_program_per_image_size_bucket(train_setup):
+    """Variable image_sizes must compile exactly one train_step program per
+    /32-padded shape bucket (reference varies size per batch; we bucket —
+    dataloader module docstring)."""
+    tmp_path, cfg_path = train_setup
+    cfg = json.loads(cfg_path.read_text())
+    cfg["data"]["image_sizes"] = [[96, 64], [64, 96]]  # two buckets
+    cfg2 = tmp_path / "config2.json"
+    cfg2.write_text(json.dumps(cfg))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_LOG_COMPILES"] = "1"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/train.py"),
+         "--config", str(cfg2), "--workspace", str(tmp_path / "ws_bucket"),
+         "--num_iterations", "6", "--batch_size", "1",
+         "--save_every", "1000", "--log_every", "1", "--checkpoint", "none",
+         "--n_devices", "1", "--seed", "3"],
+        capture_output=True, text=True, timeout=2400, env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    lines = [json.loads(l) for l in res.stdout.splitlines()
+             if l.startswith("{") and "step" in l]
+    assert len(lines) >= 6
+    # JAX emits each compile-log line through two handlers — dedup by the
+    # argument-shape signature, which is what distinguishes real programs.
+    import re
+
+    shapes = set(re.findall(
+        r"Compiling jit\(train_step\) with global shapes and types (.*?)\.",
+        res.stderr))
+    # Both sizes are sampled w.h.p. over 6+prefetch batches; the hard bound
+    # is what matters: no per-batch recompiles beyond one per bucket.
+    assert 1 <= len(shapes) <= 2, (shapes, res.stderr[-2000:])
+
+
+@pytest.mark.slow
+@pytest.mark.xdist_group("heavy_subprocess")
 def test_train_cli_runs_and_resumes(train_setup):
     tmp_path, cfg_path = train_setup
     res = _run_train(tmp_path, cfg_path, steps=3)
