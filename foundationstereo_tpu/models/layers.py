@@ -43,8 +43,35 @@ def gelu(x):
 # ---------------------------------------------------------------------------
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameter container.
+
+    Used by :class:`Conv`'s folded-3D fast path so the parameter tree keeps
+    the exact `<name>/Conv_0/kernel` paths that nn.Conv would create (the
+    checkpoint converter's name map depends on them)."""
+
+    shape: tuple
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            self.shape, jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias
+
+
 class Conv(nn.Module):
-    """Plain convolution with torch-style int padding. ndim = len(kernel_size)."""
+    """Plain convolution with torch-style int padding. ndim = len(kernel_size).
+
+    Degenerate 3D kernels are folded to 2D convolutions automatically —
+    (1,k,k) folds the disparity axis into batch, (kd,1,1) folds H*W into one
+    spatial axis. XLA lowers small-channel 3D convolutions poorly (measured
+    ~3.5 TF/s on the 28-channel APC blocks at flagship scale); the folded 2D
+    forms are numerically identical and keep identical parameter paths."""
 
     features: int
     kernel_size: Sequence[int] | int
@@ -62,6 +89,34 @@ class Conv(nn.Module):
         st = _ntuple(self.strides, n)
         pd = [(p, p) for p in _ntuple(self.padding, n)]
         dl = _ntuple(self.dilation, n)
+
+        if n == 3 and x.ndim == 5 and self.groups == 1 and dl == (1, 1, 1):
+            fold_spatial = ks[0] == 1 and st[0] == 1 and pd[0] == (0, 0)
+            fold_disp = (ks[1] == 1 and ks[2] == 1 and st[1] == st[2] == 1
+                         and pd[1] == pd[2] == (0, 0))
+            if fold_spatial or fold_disp:
+                in_ch = x.shape[-1]
+                kernel, bias = _ConvParams(ks + (in_ch, self.features),
+                                           self.use_bias, name="Conv_0")()
+                B, D, H, W, C = x.shape
+                xd = x.astype(self.dtype)
+                kd = kernel.astype(self.dtype)
+                if fold_spatial:      # (1,kh,kw): D is a pure batch axis
+                    y = jax.lax.conv_general_dilated(
+                        xd.reshape(B * D, H, W, C), kd[0],
+                        window_strides=st[1:], padding=pd[1:],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = y.reshape((B, D) + y.shape[1:])
+                else:                 # (kd,1,1): H*W is a pure spatial-1 axis
+                    y = jax.lax.conv_general_dilated(
+                        xd.reshape(B, D, H * W, C), kd[:, 0, :],
+                        window_strides=(st[0], 1), padding=(pd[0], (0, 0)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = y.reshape((B, y.shape[1], H, W, self.features))
+                if bias is not None:
+                    y = y + bias.astype(self.dtype)
+                return y
+
         return nn.Conv(
             features=self.features,
             kernel_size=ks,

@@ -44,10 +44,23 @@ def context_upsample(disp_low: jnp.ndarray, up_weights: jnp.ndarray) -> jnp.ndar
 
     Returns:
       (B, 4H, 4W) upsampled disparity.
+
+    Accumulates tap-by-tap instead of materializing the (B, 4H, 4W, 9)
+    nearest-upsampled patch stack: XLA tiles the minor axis to 128 lanes, so
+    a full-res 9-minor tensor occupies ~14x its logical bytes in HBM — that
+    stack was the difference between ViT-L training fitting and OOM.
     """
-    patches = unfold3x3(disp_low)                # (B,H,W,9)
-    patches = nearest_up4(patches)               # (B,4H,4W,9)
-    return jnp.sum(patches * up_weights, axis=-1)
+    b, h, w = disp_low.shape
+    xp = jnp.pad(disp_low, ((0, 0), (1, 1), (1, 1)))
+    acc = jnp.zeros((b, 4 * h, 4 * w), disp_low.dtype)
+    k = 0
+    for dy in range(3):
+        for dx in range(3):
+            tap = xp[:, dy : dy + h, dx : dx + w]          # (B,H,W)
+            tap_up = jnp.repeat(jnp.repeat(tap, 4, axis=1), 4, axis=2)
+            acc = acc + tap_up * up_weights[..., k]
+            k += 1
+    return acc
 
 
 def avg_pool2d(x: jnp.ndarray, kernel: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
