@@ -90,6 +90,24 @@ class Conv(nn.Module):
         pd = [(p, p) for p in _ntuple(self.padding, n)]
         dl = _ntuple(self.dilation, n)
 
+        if (n == 3 and x.ndim == 5 and dl == (1, 1, 1)
+                and self.groups == x.shape[-1] == self.features
+                and ks == st and pd == [(0, 0)] * 3):
+            # Depthwise patchify conv (kernel == stride, e.g. the DT branch's
+            # 4^3/4 conv_patch): a per-channel weighted sum over disjoint
+            # blocks — a reshape + einsum, no conv lowering needed.
+            in_ch = x.shape[-1]
+            kernel, bias = _ConvParams(ks + (1, self.features),
+                                       self.use_bias, name="Conv_0")()
+            B, D, H, W, C = x.shape
+            kd, kh, kw = ks
+            xb = x.reshape(B, D // kd, kd, H // kh, kh, W // kw, kw, C)
+            y = jnp.einsum("bdihjwkc,ijkc->bdhwc", xb.astype(self.dtype),
+                           kernel[..., 0, :].astype(self.dtype))
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
+
         if n == 3 and x.ndim == 5 and self.groups == 1 and dl == (1, 1, 1):
             fold_spatial = ks[0] == 1 and st[0] == 1 and pd[0] == (0, 0)
             fold_disp = (ks[1] == 1 and ks[2] == 1 and st[1] == st[2] == 1
