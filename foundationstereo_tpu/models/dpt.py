@@ -18,7 +18,7 @@ from flax import linen as nn
 from foundationstereo_tpu.config import VIT_CONFIGS
 from foundationstereo_tpu.models.dinov2 import make_vit
 from foundationstereo_tpu.models.layers import Conv, ConvTranspose
-from foundationstereo_tpu.ops.resize import resize2d
+from foundationstereo_tpu.ops.resize import resize2d, resize2d_via
 
 Dtype = Any
 
@@ -63,6 +63,11 @@ class DPTHead(nn.Module):
     features: int
     out_channels: Sequence[int]
     patch_size: int = 14
+    # When set, the 'out' tap is delivered directly at this (H, W) through a
+    # composed up->down interpolation matrix — numerically the bilinear
+    # upsample to (patch_h*14, patch_w*14) followed by a bilinear resize to
+    # out_hw, without materializing the full-resolution intermediate.
+    out_hw: tuple | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -100,8 +105,12 @@ class DPTHead(nn.Module):
             path2, rn[0])
 
         out = Conv(self.features // 2, 3, 1, 1, dtype=self.dtype, name="output_conv1")(path1)
-        out = resize2d(out, (patch_h * self.patch_size, patch_w * self.patch_size),
-                       "bilinear", align_corners=True)
+        full_hw = (patch_h * self.patch_size, patch_w * self.patch_size)
+        if self.out_hw is not None and not return_disp:
+            out = resize2d_via(out, full_hw, tuple(self.out_hw),
+                               "bilinear", align_corners=True)
+            return out, None
+        out = resize2d(out, full_hw, "bilinear", align_corners=True)
         if not return_disp:
             return out, None
         d = Conv(32, 3, 1, 1, dtype=self.dtype, name="output_conv2_0")(out)
@@ -119,6 +128,7 @@ class DepthAnythingFeature(nn.Module):
 
     vit_size: str = "vitl"
     attention: str = "auto"
+    out_hw: tuple | None = None  # deliver 'out' directly at this resolution
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -129,6 +139,6 @@ class DepthAnythingFeature(nn.Module):
         outputs = vit.copy(name="pretrained")(x, cfg["intermediate_layers"])
         patch_tokens = [t for (t, _cls) in outputs]
         head = DPTHead(cfg["dpt_features"], cfg["dpt_out_channels"],
-                       dtype=self.dtype, name="depth_head")
+                       out_hw=self.out_hw, dtype=self.dtype, name="depth_head")
         out, disp = head(patch_tokens, h // 14, w // 14, return_disp=return_disp)
         return {"out": out, "disp": disp}

@@ -62,12 +62,15 @@ class Feature(nn.Module):
         H_r, W_r = get_resize_keep_aspect_ratio(H, W, divider=112,
                                                 max_H=1344, max_W=1344)
         x_vit = resize2d(x, (H_r, W_r), "bicubic", align_corners=False)
+        # The frozen prior's 'out' tap is delivered directly at H/4 x W/4
+        # through a composed interpolation matrix (DPTHead.out_hw): the
+        # reference's full-ViT-resolution intermediate (core/extractor.py:357)
+        # never materializes.
         dino = DepthAnythingFeature(self.cfg.vit_size,
                                     attention=self.cfg.vit_attention,
+                                    out_hw=(H // 4, W // 4),
                                     dtype=self.dtype, name="dino")
-        vit_out = dino(x_vit)["out"]
-        vit_out = jax.lax.stop_gradient(vit_out)
-        vit_feat = resize2d(vit_out, (H // 4, W // 4), "bilinear", align_corners=True)
+        vit_feat = jax.lax.stop_gradient(dino(x_vit)["out"])
 
         x4, x8, x16, x32 = EdgeNeXt(dtype=self.dtype, name="edgenext")(x)
 

@@ -112,6 +112,38 @@ def resize2d(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear",
     return xf.astype(dt)
 
 
+def resize2d_via(x: jnp.ndarray, mid_hw: tuple[int, int], out_hw: tuple[int, int],
+                 method: str = "bilinear", align_corners: bool = False) -> jnp.ndarray:
+    """``resize2d(resize2d(x, mid_hw), out_hw)`` as ONE composed linear map.
+
+    Interpolation with fixed sizes is a linear map, so the up-then-down pair
+    collapses to a single (out, in) matrix per axis — the composed matrices
+    are multiplied in float64 at trace time, avoiding the materialization of
+    the intermediate. Used for the DPT 'out' tap, where the reference
+    upsamples to the full ViT input resolution (core/extractor.py:357 via
+    depth_anything/dpt.py:134-135) only for FoundationStereo to immediately
+    downsample to H/4 x W/4: at flagship scale the intermediate is a
+    (2, 784, 1344, 128) tensor that never needs to exist.
+    """
+    method = _METHOD_ALIASES[method]
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    (h_mid, w_mid), (h_out, w_out) = mid_hw, out_hw
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+
+    def composed(in_size, mid_size, out_size):
+        m1 = _interp_matrix_np(in_size, mid_size, method, align_corners)
+        m2 = _interp_matrix_np(mid_size, out_size, method, align_corners)
+        return jnp.asarray(
+            (m2.astype(np.float64) @ m1.astype(np.float64)).astype(np.float32))
+
+    if (h_in, h_mid, h_out) != (h_in, h_in, h_in):
+        xf = jnp.einsum("oh,...hwc->...owc", composed(h_in, h_mid, h_out), xf)
+    if (w_in, w_mid, w_out) != (w_in, w_in, w_in):
+        xf = jnp.einsum("ow,...hwc->...hoc", composed(w_in, w_mid, w_out), xf)
+    return xf.astype(dt)
+
+
 def resize_dhw(x: jnp.ndarray, out_dhw: tuple[int, int, int], method: str = "trilinear",
                align_corners: bool = False) -> jnp.ndarray:
     """Resize the (D, H, W) axes of ``(..., D, H, W, C)`` (torch trilinear)."""

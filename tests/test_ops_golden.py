@@ -50,6 +50,19 @@ def test_resize2d_matches_torch(rng, mode, align, shape_out):
     np.testing.assert_allclose(got, to_nhwc(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_resize2d_via_matches_two_step(rng):
+    """Composed up->down interpolation == the two explicit resizes (the DPT
+    'out' tap fast path; linear maps compose exactly)."""
+    from foundationstereo_tpu.ops.resize import resize2d_via
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 24, 5)).astype(np.float32))
+    for mid, out in (((56, 96), (13, 20)), ((64, 64), (64, 64)), ((8, 12), (32, 48))):
+        two = resize2d(resize2d(x, mid, "bilinear", True), out, "bilinear", True)
+        one = resize2d_via(x, mid, out, "bilinear", True)
+        np.testing.assert_allclose(np.asarray(one), np.asarray(two),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_resize_trilinear_matches_torch(rng):
     x = rng.standard_normal((1, 6, 8, 10, 4)).astype(np.float32)
     t = torch.from_numpy(np.moveaxis(x, -1, 1))  # (B,C,D,H,W)
