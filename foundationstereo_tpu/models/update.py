@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -46,8 +47,29 @@ class DispHead(nn.Module):
         return Conv(1, 3, 1, 1, dtype=self.dtype)(x)
 
 
+class _GateParams(nn.Module):
+    """Conv parameters under the standard `<name>/Conv_0/{kernel,bias}` path
+    (checkpoint-converter layout) without running a convolution — the caller
+    fuses the kernels of multiple gates into one conv."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        from foundationstereo_tpu.models.layers import _ConvParams
+
+        return _ConvParams(self.shape, True, name="Conv_0")()
+
+
 class RaftConvGRU(nn.Module):
-    """Standard conv GRU (core/update.py:83-95)."""
+    """Standard conv GRU (core/update.py:83-95).
+
+    The z and r gates read the same input, so their kernels are concatenated
+    along output channels at trace time and run as ONE convolution —
+    numerically identical (convolution is linear in the kernel), half the
+    gate-conv launches, and a 256-wide output uses the 128-lane MXU twice as
+    well as two 128-wide convs. Parameters keep the separate convz/convr
+    paths the checkpoint converter maps."""
 
     hidden_dim: int = 128
     kernel_size: int = 3
@@ -56,9 +78,19 @@ class RaftConvGRU(nn.Module):
     @nn.compact
     def __call__(self, h, x, hx):
         k, p = self.kernel_size, self.kernel_size // 2
-        z = nn.sigmoid(Conv(self.hidden_dim, k, 1, p, dtype=self.dtype, name="convz")(hx))
-        r = nn.sigmoid(Conv(self.hidden_dim, k, 1, p, dtype=self.dtype, name="convr")(hx))
-        q = jnp.tanh(Conv(self.hidden_dim, k, 1, p, dtype=self.dtype, name="convq")(
+        d = self.hidden_dim
+        in_ch = hx.shape[-1]
+        kz, bz = _GateParams((k, k, in_ch, d), name="convz")()
+        kr, br = _GateParams((k, k, in_ch, d), name="convr")()
+        kzr = jnp.concatenate([kz, kr], axis=-1).astype(self.dtype)
+        bzr = jnp.concatenate([bz, br]).astype(self.dtype)
+        zr = jax.lax.conv_general_dilated(
+            hx.astype(self.dtype), kzr, window_strides=(1, 1),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bzr
+        z = nn.sigmoid(zr[..., :d])
+        r = nn.sigmoid(zr[..., d:])
+        q = jnp.tanh(Conv(d, k, 1, p, dtype=self.dtype, name="convq")(
             jnp.concatenate([r * h, x], axis=-1)))
         return (1 - z) * h + z * q
 
