@@ -63,7 +63,8 @@ def main(argv=None):
 
     # Default assets: repo-local assets/ first, the mounted reference's
     # assets as a fallback for this environment.
-    repo_assets = Path(code_dir).resolve().parents[2] / "assets"
+    # code_dir = <repo>/foundationstereo_tpu/inference -> parents[1] = <repo>
+    repo_assets = Path(code_dir).resolve().parents[1] / "assets"
     assets = repo_assets if repo_assets.is_dir() else Path("/root/reference/assets")
     if args.camera_type == "panorama":
         args.left_file = args.left_file or str(assets / "blender/up_erp.png")
