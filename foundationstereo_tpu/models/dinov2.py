@@ -103,11 +103,29 @@ def flash_vit_attention(q, k, v, scale: float, block: int = 512):
     return out.transpose(0, 2, 1, 3)[:, :N]  # (B, N, H, D)
 
 
+_VIT_ATTENTION_IMPLS = ("auto", "dense", "chunked", "flash")
+
+
 def resolve_vit_attention(impl: str) -> str:
     """Resolve the "auto" attention choice at trace time: the Pallas flash
-    kernel on TPU, the dense einsum elsewhere (CPU tests, tiny inputs)."""
+    kernel on TPU, the dense einsum elsewhere (CPU tests, tiny inputs).
+
+    Unknown values raise (a typo would otherwise silently take the dense
+    O(N^2) path). Under a multi-device mesh "auto" falls back to dense:
+    pallas_call has no SPMD partitioning rule, so GSPMD would either fail to
+    partition it or replicate with all-gathers — the dense einsum partitions
+    cleanly over batch/heads. (An explicit "flash" is honored as requested.)
+    """
+    if impl not in _VIT_ATTENTION_IMPLS:
+        raise ValueError(
+            f"vit_attention={impl!r} not in {_VIT_ATTENTION_IMPLS}")
     if impl != "auto":
         return impl
+    from foundationstereo_tpu.parallel.mesh import current_mesh
+
+    mesh = current_mesh()
+    if mesh is not None and mesh.size > 1:
+        return "dense"
     return "flash" if jax.default_backend() == "tpu" else "dense"
 
 

@@ -236,12 +236,16 @@ class StereoTrainDataLoaderPipeline:
             lo = min(r[0] for r in ranges)
             hi = max(r[1] for r in ranges)
             ar = random.uniform(lo, hi)
-            width, height = int((area * ar) ** 0.5), int((area / ar) ** 0.5)
             # Snap sampled sizes to /32 buckets so each bucket compiles one
             # device program (the reference samples arbitrary sizes and eats
             # a fresh CUDA graph per batch; XLA would recompile instead).
-            width = max(32, int(round(width / 32)) * 32)
-            height = max(32, int(round(height / 32)) * 32)
+            # Area-preserving snap: width from area*aspect, then height from
+            # the SNAPPED width — keeps the sampled-area distribution close
+            # to the reference's (independent snapping shifts both area and
+            # aspect, most strongly at small sizes). Documented deviation in
+            # docs/COVERAGE.md (T2).
+            width = max(32, int(round((area * ar) ** 0.5 / 32)) * 32)
+            height = max(32, int(round(area / width / 32)) * 32)
         for inst in batch:
             inst["width"], inst["height"] = width, height
         return batch

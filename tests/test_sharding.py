@@ -58,9 +58,12 @@ def test_sharded_gwc_matches_single_device(rng):
 
 @pytest.mark.slow
 @pytest.mark.xdist_group("heavy_subprocess")
-def test_dryrun_multichip():
+def test_dryrun_multichip(monkeypatch):
     import importlib.util
 
+    # Full-size forward-shard check (192x320 / D=192 / 2 iters) lives here in
+    # the slow tier; the driver entrypoint runs the budget-friendly small one.
+    monkeypatch.setenv("FSTPU_FWD_SHARD_CHECK", "full")
     spec = importlib.util.spec_from_file_location("ge", "/root/repo/__graft_entry__.py")
     ge = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ge)
