@@ -36,7 +36,6 @@ from foundationstereo_tpu.models.layers import (
     ChannelAttentionEnhancement,
     Conv,
     Conv2x,
-    ConvTranspose,
     FeatureAtt,
     SpatialAttentionExtractor,
 )
@@ -54,7 +53,10 @@ from foundationstereo_tpu.ops.pallas_kernels import (
     to_kernel_layout,
 )
 from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
-from foundationstereo_tpu.ops.upsample import context_upsample, disparity_regression
+from foundationstereo_tpu.ops.upsample import (
+    context_upsample_phased,
+    disparity_regression,
+)
 from foundationstereo_tpu.parallel.sharding import shard_batch, shard_spatial
 from foundationstereo_tpu.utils.misc import IMAGENET_MEAN, IMAGENET_STD
 
@@ -95,6 +97,45 @@ def _pallas_mode(cfg: ModelConfig, train: bool, w4: int) -> tuple[bool, str]:
     return False, "xla"
 
 
+class _SpxGruPhases(nn.Module):
+    """The spx convex-upsample deconv (ConvTranspose 9ch/k4/s2/p1,
+    core/foundation_stereo.py:160) evaluated WITHOUT interleaving.
+
+    Returns (B, 4, 9, h, w) phase logits for
+    :func:`~foundationstereo_tpu.ops.upsample.context_upsample_phased`:
+    the interleaved (B, 2h, 2w, 9) tensor's 9-lane minor axis pads ~14x in
+    TPU tiled layouts — at (iters*B, H, W, 9) during training this stack was
+    the batch-2 OOM driver (docs/NOTES_ROUND2.md). Same parameters and math
+    as ConvTranspose (paths spx_gru/{kernel,bias} are preserved for the
+    checkpoint converter); only the output layout differs.
+    """
+
+    features: int = 9
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from foundationstereo_tpu.models.layers import deconv_k4s2p1_phases
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (4, 4, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        b, h, w, _ = x.shape
+        f = self.features
+        y = deconv_k4s2p1_phases(x, kernel, self.dtype,
+                                 out_layout="NCHW")      # (B, 4*9, h+1, w+1)
+        parts = [
+            y[:, p * f:(p + 1) * f, a:a + h, bb:bb + w]
+            for p, (a, bb) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1)))
+        ]
+        out = jnp.stack(parts, axis=1)                    # (B, 4, 9, h, w)
+        return out + bias.astype(out.dtype)[None, None, :, None, None]
+
+
 class _RefineStep(nn.Module):
     """One GRU refinement iteration — the body of the scan loop.
 
@@ -125,17 +166,21 @@ class _RefineStep(nn.Module):
         elif self.lookup_mode == "pallas":
             lookup = (disparity_lookup_pallas_fused if cfg.fused_lookup
                       else disparity_lookup_pallas_pre)
+            # Kernel-layout parts: the motion encoder contracts these against
+            # convc1 kernel slices, skipping the concat+transpose epilogue.
             geo_feat = lookup(
                 list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
-                disp, cfg.corr_radius, out_dtype=dt)
+                disp, cfg.corr_radius, out_dtype=dt, return_parts=True)
         else:
             geo_feat = disparity_lookup(
                 list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
                 disp, cfg.corr_radius)
+        if not isinstance(geo_feat, (list, tuple)):
+            geo_feat = geo_feat.astype(dt)
         update = BasicSelectiveMultiUpdateBlock(
             cfg.hidden_dims[0], cfg.n_gru_layers, dtype=dt, name="update_block")
         net_list, mask_feat, delta = update(
-            list(net_list), list(invariants["inp"]), geo_feat.astype(dt),
+            list(net_list), list(invariants["inp"]), geo_feat,
             disp[..., None].astype(dt), list(invariants["att"]))
         disp = disp + delta[..., 0].astype(jnp.float32)
         carry = (tuple(net_list), disp, mask_feat.astype(dt))
@@ -275,12 +320,13 @@ class FoundationStereo(nn.Module):
         (net_final, disp, mask_feat), ys = loop(carry0, invariants)
 
         spx_2_gru = Conv2x(32, deconv=True, bn=False, dtype=dt, name="spx_2_gru")
-        spx_gru = ConvTranspose(9, 4, 2, 1, dtype=dt, name="spx_gru")
+        spx_gru = _SpxGruPhases(dtype=dt, name="spx_gru")
 
         def upsample_disp(disp_, mask_feat_, stem_):
             xspx = spx_2_gru(mask_feat_, stem_, train)
-            spx_pred = jax.nn.softmax(spx_gru(xspx).astype(jnp.float32), axis=-1)
-            return context_upsample(disp_ * 4.0, spx_pred).astype(jnp.float32)
+            logits = spx_gru(xspx).astype(jnp.float32)     # (B, 4, 9, H/2, W/2)
+            spx_pred = jax.nn.softmax(logits, axis=2)
+            return context_upsample_phased(disp_ * 4.0, spx_pred).astype(jnp.float32)
 
         if test_mode:
             return upsample_disp(disp, mask_feat, stem_2x)

@@ -148,12 +148,82 @@ class Conv(nn.Module):
         )(x)
 
 
+def _conv_dn(n: int):
+    if n == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if n == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError(f"unsupported ndim {n}")
+
+
+def deconv_k4s2p1_phases(x, kernel, dtype, out_layout: str | None = None):
+    """Phase-decomposed transposed conv for kernel=4 / stride=2 / padding=1.
+
+    A stride-2 transposed conv computes each output-parity class ("phase")
+    from a disjoint 2-tap slice of the kernel — the lhs-dilated formulation
+    makes the MXU multiply by the interleaved zeros (8x wasted FLOPs for the
+    hourglass 4^3 deconvs). Here all 2^n phases run as ONE dense 2^n-tap
+    convolution with the phase kernels concatenated along output channels
+    (exactly the nonzero work), and the caller interleaves.
+
+    x: (B, *spatial, C); kernel: (4,)*n + (C, F) in the ConvTranspose layout.
+    Returns y with spatial dims ``s+1`` and channels ``2^n * F``; phase
+    p = (a, b[, c]) of torch's output[2i+a, 2j+b, ...] is
+    ``y[:, a:a+H, b:b+W, ..., p_idx*F:(p_idx+1)*F]`` with p_idx the
+    binary index a*2^(n-1)+....
+    """
+    import itertools
+
+    n = x.ndim - 2
+    kf = jnp.flip(kernel, axis=tuple(range(n)))
+    # Derivation (per axis, k=4/s=2/p=1, kf = flipped kernel):
+    #   out[2Y+0] = x[Y-1]*kf[0] + x[Y]*kf[2]   -> taps kf[0::2], window at Y-1
+    #   out[2Y+1] = x[Y]*kf[1]   + x[Y+1]*kf[3] -> taps kf[1::2], window at Y
+    # Padding the input once by (1,1) and slicing [a:a+H] after a VALID
+    # 2-tap conv realizes every phase a from the same conv output.
+    phases = list(itertools.product((0, 1), repeat=n))
+    kph = jnp.concatenate(
+        [kf[tuple(slice(a, None, 2) for a in ph)] for ph in phases],
+        axis=-1)
+    xp = jnp.pad(x, [(0, 0)] + [(1, 1)] * n + [(0, 0)])
+    dn = _conv_dn(n)
+    if out_layout is not None:
+        assert n == 2 and out_layout == "NCHW"
+        dn = (dn[0], dn[1], "NCHW")
+    return jax.lax.conv_general_dilated(
+        xp.astype(dtype), kph.astype(dtype), (1,) * n, "VALID",
+        dimension_numbers=dn)
+
+
+def interleave_deconv_phases(y, spatial, features: int):
+    """Assemble :func:`deconv_k4s2p1_phases` output into (B, *2*spatial, F)."""
+    import itertools
+
+    n = len(spatial)
+    phases = list(itertools.product((0, 1), repeat=n))
+    parts = []
+    for i, ph in enumerate(phases):
+        idx = (slice(None),) + tuple(slice(a, a + s) for a, s in zip(ph, spatial))
+        parts.append(y[idx + (slice(i * features, (i + 1) * features),)])
+    stk = jnp.stack(parts, axis=-2)                      # (B, *s, 2^n, F)
+    b = y.shape[0]
+    stk = stk.reshape((b,) + tuple(spatial) + (2,) * n + (features,))
+    # (B, s1..sn, a1..an, F) -> (B, s1, a1, s2, a2, ..., F)
+    perm = [0]
+    for i in range(n):
+        perm += [1 + i, 1 + n + i]
+    stk = stk.transpose(*perm, 1 + 2 * n)
+    return stk.reshape((b,) + tuple(2 * s for s in spatial) + (features,))
+
+
 class ConvTranspose(nn.Module):
     """Transposed convolution with exact torch ``ConvTransposeNd`` semantics.
 
-    Implemented as conv(dilate(x, stride), flip(W), pad=k-1-p): output size is
-    (in-1)*stride - 2*padding + kernel, matching torch for the k=4/s=2/p=1
-    upsamplers used throughout the reference.
+    Output size is (in-1)*stride - 2*padding + kernel. The k=4/s=2/p=1
+    upsamplers used throughout the reference take the phase-decomposed path
+    (:func:`deconv_k4s2p1_phases`): one dense 2^n-tap conv at input
+    resolution instead of an lhs-dilated conv whose MXU work is 2^n x zeros.
+    Other geometries fall back to conv(dilate(x, stride), flip(W), pad=k-1-p).
     """
 
     features: int
@@ -176,22 +246,20 @@ class ConvTranspose(nn.Module):
             ks + (in_ch, self.features),
             jnp.float32,
         )
-        k = jnp.flip(kernel, axis=tuple(range(n))).astype(self.dtype)
-        pad = [(kk - 1 - pp, kk - 1 - pp) for kk, pp in zip(ks, pd)]
-        if n == 2:
-            dn = ("NHWC", "HWIO", "NHWC")
-        elif n == 3:
-            dn = ("NDHWC", "DHWIO", "NDHWC")
+        if ks == (4,) * n and st == (2,) * n and pd == (1,) * n:
+            y = deconv_k4s2p1_phases(x, kernel, self.dtype)
+            y = interleave_deconv_phases(y, x.shape[1:-1], self.features)
         else:
-            raise ValueError(f"unsupported ndim {n}")
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            k,
-            window_strides=(1,) * n,
-            padding=pad,
-            lhs_dilation=st,
-            dimension_numbers=dn,
-        )
+            k = jnp.flip(kernel, axis=tuple(range(n))).astype(self.dtype)
+            pad = [(kk - 1 - pp, kk - 1 - pp) for kk, pp in zip(ks, pd)]
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                k,
+                window_strides=(1,) * n,
+                padding=pad,
+                lhs_dilation=st,
+                dimension_numbers=_conv_dn(n),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

@@ -113,14 +113,38 @@ class SelectiveConvGRU(nn.Module):
 
 
 class BasicMotionEncoder(nn.Module):
-    """(disp, lookup features) -> 128-ch motion features (core/update.py:51-70)."""
+    """(disp, lookup features) -> 128-ch motion features (core/update.py:51-70).
+
+    ``corr`` is either the dense (B, H, W, F) lookup feature (XLA/training
+    path) or a list of kernel-layout parts [(B*H, f_i, W), ...] from the
+    Pallas lookup (``return_parts=True``): convc1 is a 1x1 conv, so it is
+    evaluated as a sum of per-part einsums against slices of its kernel —
+    the (B*H, F, W) -> (B, H, W, F) transpose and the level concat become
+    part of the MXU contraction instead of a separate fp32 HBM pass (the
+    dominant per-iteration epilogue cost of the refinement loop).
+    """
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, disp, corr):
         dt = self.dtype
-        cor = nn.relu(Conv(256, 1, 1, 0, dtype=dt, name="convc1")(corr))
+        if isinstance(corr, (list, tuple)):
+            b, h, w = disp.shape[:3]
+            f_total = sum(int(p.shape[1]) for p in corr)
+            k1, b1 = _GateParams((1, 1, f_total, 256), name="convc1")()
+            k2d = k1[0, 0].astype(dt)                     # (F, 256)
+            acc, off = None, 0
+            for p in corr:
+                f = int(p.shape[1])
+                term = jnp.einsum(
+                    "rfw,fo->rwo", p.astype(dt), k2d[off:off + f],
+                    preferred_element_type=jnp.float32)
+                acc = term if acc is None else acc + term
+                off += f
+            cor = nn.relu(acc + b1).astype(dt).reshape(b, h, w, 256)
+        else:
+            cor = nn.relu(Conv(256, 1, 1, 0, dtype=dt, name="convc1")(corr))
         cor = nn.relu(Conv(256, 3, 1, 1, dtype=dt, name="convc2")(cor))
         d = nn.relu(Conv(64, 7, 1, 3, dtype=dt, name="convd1")(disp))
         d = nn.relu(Conv(64, 3, 1, 1, dtype=dt, name="convd2")(d))

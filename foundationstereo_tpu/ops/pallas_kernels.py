@@ -54,15 +54,21 @@ def _lookup_row_kernel(disp_ref, vol_ref, out_ref, *, radius: int, scale: float)
         vol_c = vol_ref[0, c].astype(jnp.float32)          # (D, W)
         for k in range(-r, r + 1):
             t_k = text[r - k : r - k + D, :]               # (D, W)
-            out_ref[0, c, k + r, :] = jnp.sum(vol_c * t_k, axis=0)
+            out_ref[0, c, k + r, :] = jnp.sum(
+                vol_c * t_k, axis=0).astype(out_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, C, body, None)
 
 
 def lookup_level_pallas(vol: jnp.ndarray, disp: jnp.ndarray, radius: int,
-                        scale: float, interpret: bool = False) -> jnp.ndarray:
-    """Sample ``vol`` (R, C, D, W) at disp*scale + [-r..r] -> (R, C, K, W)."""
+                        scale: float, interpret: bool = False,
+                        out_dtype=jnp.float32) -> jnp.ndarray:
+    """Sample ``vol`` (R, C, D, W) at disp*scale + [-r..r] -> (R, C, K, W).
+
+    Accumulation is fp32; ``out_dtype`` sets the stored dtype (bf16 halves
+    the per-iteration HBM write+re-read of the tap features under mixed
+    precision)."""
     R, C, D, W = vol.shape
     K = 2 * radius + 1
     kernel = functools.partial(_lookup_row_kernel, radius=radius, scale=scale)
@@ -76,7 +82,7 @@ def lookup_level_pallas(vol: jnp.ndarray, disp: jnp.ndarray, radius: int,
         ],
         out_specs=pl.BlockSpec((1, C, K, W), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, C, K, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, C, K, W), out_dtype),
         interpret=interpret,
     )(disp, vol)
 
@@ -122,7 +128,8 @@ def _lookup_fused_kernel(disp_ref, xc_ref, *refs, radius: int, n_levels: int):
                 vol_c = vol_ref[0, c].astype(jnp.float32)      # (D, W)
                 for k in range(-r, r + 1):
                     t_k = text[r - k : r - k + D, :]
-                    out_ref[0, c, k + r, :] = jnp.sum(vol_c * t_k, axis=0)
+                    out_ref[0, c, k + r, :] = jnp.sum(
+                        vol_c * t_k, axis=0).astype(out_ref.dtype)
                 return carry
 
             jax.lax.fori_loop(0, C, body, None)
@@ -130,7 +137,8 @@ def _lookup_fused_kernel(disp_ref, xc_ref, *refs, radius: int, n_levels: int):
 
 def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
                                   interpret: bool = False,
-                                  x_offset=0, out_dtype=jnp.float32) -> jnp.ndarray:
+                                  x_offset=0, out_dtype=jnp.float32,
+                                  return_parts: bool = False):
     """Single-dispatch-per-iteration lookup (all levels in one pallas_call).
 
     Same contract as :func:`disparity_lookup_pallas_pre`. REQUIRES 2-byte
@@ -143,7 +151,8 @@ def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
         return disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius,
                                            interpret=interpret,
                                            x_offset=x_offset,
-                                           out_dtype=out_dtype)
+                                           out_dtype=out_dtype,
+                                           return_parts=return_parts)
     b, h, w = disp.shape
     R = b * h
     K = 2 * radius + 1
@@ -161,10 +170,11 @@ def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
         return pl.BlockSpec((1,) + v.shape[1:], lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    part_dtype = out_dtype if return_parts else jnp.float32
     out_shapes, out_specs = [], []
     for i in range(n_levels):
         for C in (geo_k[i].shape[2], 1):
-            out_shapes.append(jax.ShapeDtypeStruct((R, C, K, w), jnp.float32))
+            out_shapes.append(jax.ShapeDtypeStruct((R, C, K, w), part_dtype))
             out_specs.append(pl.BlockSpec((1, C, K, w), lambda i: (i, 0, 0, 0),
                                           memory_space=pltpu.VMEM))
 
@@ -182,15 +192,19 @@ def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
     parts = []
     for i in range(n_levels):
         g, c = outs[2 * i], outs[2 * i + 1]
-        parts.append(g.reshape(R, -1, w).astype(out_dtype))   # (R, C*K, W)
-        parts.append(c.reshape(R, K, w).astype(out_dtype))
+        parts.append(g.reshape(R, -1, w))                     # (R, C*K, W)
+        parts.append(c.reshape(R, K, w))
+    if return_parts:
+        return parts
+    parts = [p.astype(out_dtype) for p in parts]
     feat = jnp.concatenate(parts, axis=1)
     return feat.transpose(0, 2, 1).reshape(b, h, w, -1)
 
 
 def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
                                 interpret: bool = False,
-                                x_offset=0, out_dtype=jnp.float32) -> jnp.ndarray:
+                                x_offset=0, out_dtype=jnp.float32,
+                                return_parts: bool = False):
     """Lookup from kernel-layout pyramids (see :func:`to_kernel_layout`).
 
     geo_k: levels of (B, H, C, D_l, W); corr_k: (B, H, 1, W_l, W);
@@ -201,22 +215,33 @@ def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
     a single chip; under width sharding (shard_map over 'spatial') each shard
     passes its global offset so the correlation lookup indexes the full-width
     right-image axis correctly.
+
+    ``return_parts=True`` skips the concat+transpose epilogue and returns the
+    raw kernel-layout parts [(B*H, C*K, W), (B*H, K, W), ...] fp32, in the
+    standard channel order — the motion encoder contracts these directly
+    against slices of its convc1 kernel (the epilogue transpose rides the
+    MXU's layout handling instead of a separate HBM pass).
     """
     b, h, w = disp.shape
     disp_rows = disp.reshape(b * h, w)
     coords = jnp.arange(w, dtype=jnp.float32)[None, :] + x_offset
     K = 2 * radius + 1
     parts = []
+    part_dtype = out_dtype if return_parts else jnp.float32
     for i, (geo, corr) in enumerate(zip(geo_k, corr_k)):
         scale = 1.0 / (2.0 ** i)
         c_dim, d_dim = geo.shape[2], geo.shape[3]
         g = lookup_level_pallas(geo.reshape(b * h, c_dim, d_dim, w),
-                                disp_rows, radius, scale, interpret=interpret)
+                                disp_rows, radius, scale, interpret=interpret,
+                                out_dtype=part_dtype)
         parts.append(g.reshape(b * h, c_dim * K, w))
         xc = coords - disp_rows
         c = lookup_level_pallas(corr.reshape(b * h, 1, corr.shape[3], w),
-                                xc, radius, scale, interpret=interpret)
+                                xc, radius, scale, interpret=interpret,
+                                out_dtype=part_dtype)
         parts.append(c.reshape(b * h, K, w))
+    if return_parts:
+        return parts
     # One channel-concat + one large-minor transpose (a per-level transpose
     # to a 9-element minor axis is catastrophically slow on TPU). The
     # epilogue dominates the per-iteration cost at fp32 — cast to the

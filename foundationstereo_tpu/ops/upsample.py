@@ -63,6 +63,40 @@ def context_upsample(disp_low: jnp.ndarray, up_weights: jnp.ndarray) -> jnp.ndar
     return acc
 
 
+def context_upsample_phased(disp_low: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Convex upsampling from phase-decomposed weights (no 9-minor tensors).
+
+    Args:
+      disp_low: (B, h, w) disparity at 1/4 resolution (already scaled by 4).
+      weights: (B, 4, 9, 2h, 2w) softmax weights — the spx deconv's output
+        phases p=(a,b) at the half-res grid, where the full-res weight at
+        pixel (2Y+a, 2X+b) is ``weights[:, 2a+b, :, Y, X]``.
+
+    Returns:
+      (B, 4h, 4w) upsampled disparity, equal to :func:`context_upsample` on
+      the interleaved weights.
+
+    Rationale: the interleaved formulation materializes (B, 4h, 4w, 9)
+    tensors whose 9-lane minor axis pads ~14x in TPU tiled layouts; here
+    every tensor keeps spatial axes minor. Since (2Y+a)//4 == Y//2 for
+    a in {0,1}, all four phases of a half-res pixel read the SAME 3x3
+    disparity taps, so one repeat-2x tap grid serves every phase.
+    """
+    b, h, w = disp_low.shape
+    xp = jnp.pad(disp_low, ((0, 0), (1, 1), (1, 1)))
+    acc = jnp.zeros((b, 4, 2 * h, 2 * w), disp_low.dtype)
+    k = 0
+    for dy in range(3):
+        for dx in range(3):
+            tap = xp[:, dy : dy + h, dx : dx + w]             # (B,h,w)
+            tap2 = jnp.repeat(jnp.repeat(tap, 2, axis=1), 2, axis=2)
+            acc = acc + tap2[:, None] * weights[:, :, k]
+            k += 1
+    # Interleave phases: out[2Y+a, 2X+b] = acc[b, 2a+b, Y, X].
+    acc = acc.reshape(b, 2, 2, 2 * h, 2 * w)
+    return acc.transpose(0, 3, 1, 4, 2).reshape(b, 4 * h, 4 * w)
+
+
 def avg_pool2d(x: jnp.ndarray, kernel: int = 3, stride: int = 2, padding: int = 1) -> jnp.ndarray:
     """``F.avg_pool2d`` with count_include_pad=True on (B, H, W, C).
 

@@ -184,6 +184,29 @@ def test_context_upsample_matches_torch(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_spx_phased_upsample_matches_interleaved(rng):
+    """_SpxGruPhases + context_upsample_phased == ConvTranspose + softmax +
+    context_upsample, with SHARED parameters (the phased path is a pure
+    layout re-arrangement of the spx convex-upsample head)."""
+    import jax
+    from foundationstereo_tpu.models.foundation_stereo import _SpxGruPhases
+    from foundationstereo_tpu.models.layers import ConvTranspose
+    from foundationstereo_tpu.ops.upsample import context_upsample_phased
+
+    b, h, w, c = 2, 6, 8, 5
+    x = jnp.asarray(rng.standard_normal((b, 2 * h, 2 * w, c)).astype(np.float32))
+    disp = jnp.asarray(rng.uniform(0, 10, (b, h, w)).astype(np.float32))
+
+    old = ConvTranspose(9, 4, 2, 1)
+    v = old.init(jax.random.PRNGKey(0), x)
+    ref = context_upsample(disp * 4.0, jax.nn.softmax(old.apply(v, x), axis=-1))
+
+    logits = _SpxGruPhases().apply(v, x)           # (B, 4, 9, 2h, 2w)
+    got = context_upsample_phased(disp * 4.0, jax.nn.softmax(logits, axis=2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_avg_pool2d_matches_torch(rng):
     x = rng.standard_normal((2, 9, 12, 5)).astype(np.float32)
     ref = F.avg_pool2d(torch.from_numpy(to_nchw(x)), 3, stride=2, padding=1).numpy()

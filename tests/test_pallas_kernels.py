@@ -9,6 +9,9 @@ from foundationstereo_tpu.ops.cost_volume import build_concat_volume, build_gwc_
 from foundationstereo_tpu.ops.pallas_kernels import (
     build_cost_volume_pallas,
     disparity_lookup_pallas,
+    disparity_lookup_pallas_fused,
+    disparity_lookup_pallas_pre,
+    to_kernel_layout,
 )
 from foundationstereo_tpu.ops.sampler import disparity_lookup, pool_last_axis
 
@@ -90,3 +93,35 @@ def test_cost_volume_kernel_matches_xla(rng):
     ref = np.asarray(jnp.concatenate([gwc, cat], axis=-1))
     got = np.asarray(build_cost_volume_pallas(l, r, lp, rp, d, g, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_lookup_parts_mode_feeds_motion_encoder(rng):
+    """return_parts skips the concat+transpose epilogue; the motion encoder
+    contracting the parts against convc1 kernel slices must equal the dense
+    path (shared parameters)."""
+    import jax
+    from foundationstereo_tpu.models.update import BasicMotionEncoder
+
+    b, h, w, c, d, r = 1, 4, 32, 6, 16, 4
+    geo = jnp.asarray(rng.standard_normal((b, h, w, c, d)).astype(np.float32))
+    corr = jnp.asarray(rng.standard_normal((b, h, w, w)).astype(np.float32))
+    disp = jnp.asarray(rng.uniform(0, d - 1, (b, h, w)).astype(np.float32))
+    gp = pool_last_axis(geo, 3)
+    cp = pool_last_axis(corr, 3)
+
+    dense = disparity_lookup(gp, cp, disp, r)
+    gk, ck = to_kernel_layout(gp, cp)
+    for fused in (False, True):
+        fn = disparity_lookup_pallas_fused if fused else disparity_lookup_pallas_pre
+        parts = fn(gk, ck, disp, r, interpret=True, return_parts=True)
+        feat = jnp.concatenate(list(parts), axis=1).transpose(0, 2, 1).reshape(b, h, w, -1)
+        np.testing.assert_allclose(np.asarray(feat), np.asarray(dense),
+                                   rtol=1e-5, atol=1e-5)
+
+    enc = BasicMotionEncoder()
+    dd = disp[..., None]
+    v = enc.init(jax.random.PRNGKey(0), dd, dense)
+    ref = enc.apply(v, dd, dense)
+    got = enc.apply(v, dd, list(parts))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
