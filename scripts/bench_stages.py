@@ -163,6 +163,24 @@ def main():
         timed(f"E lookup_xla x{args.iters}",
               lambda: (scan_of(disparity_lookup),), lambda s: s[0](disp0, gp, cp))
 
+    if "G" in stages:  # corr_stem + classifier (full-volume narrow convs)
+        from foundationstereo_tpu.models.cost_filter import Classifier, CorrStem
+
+        def build():
+            ms = CorrStem(28, dtype=dt)
+            mc = Classifier(28, dtype=dt)
+            x = jax.random.normal(key, (1, D, H4, W4, 32), dt)
+            vs = jax.jit(lambda k: ms.init(k, x))(key)
+            xf = jax.random.normal(key, (1, D, H4, W4, 28), dt)
+            vc = jax.jit(lambda k: mc.init(k, xf))(key)
+            f1 = jax.jit(lambda v, x: ms.apply(v, x))
+            f2 = jax.jit(lambda v, x: mc.apply(v, x))
+            return (f1, vs, x, f2, vc, xf)
+
+        s = build()
+        timed("G corr_stem", lambda: (s[0],), lambda _: s[0](s[1], s[2]))
+        timed("G classifier", lambda: (s[3],), lambda _: s[3](s[4], s[5]))
+
     if "F" in stages:  # full model
         from foundationstereo_tpu.models.foundation_stereo import FoundationStereo
 
