@@ -71,30 +71,32 @@ def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
     return (img.astype(jnp.float32) / 255.0 - mean) / std
 
 
-def _pallas_mode(cfg: ModelConfig, train: bool, w4: int) -> tuple[bool, str]:
+def _pallas_mode(cfg: ModelConfig, train: bool, w4: int) -> tuple[str, str]:
     """Pick kernel implementations for this trace.
 
-    Returns (costvol_pallas, lookup_mode) with lookup_mode one of:
-      "xla"            — differentiable XLA formulation (training, CPU);
+    Returns (costvol_mode, lookup_mode), each one of:
+      "xla"            — differentiable XLA formulation (training, CPU;
+                         GSPMD-partitionable under any mesh);
       "pallas"         — single-chip Pallas kernel;
       "pallas_sharded" — shard_map'd Pallas kernel over the mesh 'spatial'
-                         axis (multi-chip inference; width-local, no halo).
-    The cost-volume Pallas kernel stays single-chip: its disparity sweep
-    reads right-feature columns up to max_disp/4 to the left, so a width-
-    sharded version needs a halo exchange; the XLA formulation is GSPMD-
-    partitionable as-is and costs ~15 ms/pair more at flagship scale.
+                         axis (multi-chip inference). The lookup is
+                         width-local (no halo); the cost-volume kernel
+                         all-gathers the right features and consumes a
+                         ``maxdisp``-column left halo per shard
+                         (ops/pallas_kernels.py:build_cost_volume_pallas_sharded).
     """
     from foundationstereo_tpu.parallel.mesh import current_mesh
 
     if not (cfg.use_pallas and not train and jax.default_backend() == "tpu"):
-        return False, "xla"
+        return "xla", "xla"
     mesh = current_mesh()
     if mesh is None or mesh.devices.size == 1:
-        return cfg.pallas_cost_volume, "pallas"
+        return ("pallas" if cfg.pallas_cost_volume else "xla"), "pallas"
     if ("spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
             and w4 % mesh.shape["spatial"] == 0):
-        return False, "pallas_sharded"
-    return False, "xla"
+        return ("pallas_sharded" if cfg.pallas_cost_volume else "xla",
+                "pallas_sharded")
+    return "xla", "xla"
 
 
 class _SpxGruPhases(nn.Module):
@@ -238,10 +240,19 @@ class FoundationStereo(nn.Module):
         # filtering below and inserts halo exchanges over ICI.
         features_left = [shard_batch(f) for f in features_left]
         features_right = [shard_batch(f) for f in features_right]
-        costvol_pallas, lookup_mode = _pallas_mode(cfg, train, W // 4)
+        costvol_mode, lookup_mode = _pallas_mode(cfg, train, W // 4)
         proj = Conv(12, 1, 1, 0, dtype=dt, name="proj_cmb")
         lproj, rproj = proj(features_left[0]), proj(features_right[0])
-        if costvol_pallas:
+        if costvol_mode == "pallas_sharded":
+            from foundationstereo_tpu.ops.pallas_kernels import (
+                build_cost_volume_pallas_sharded,
+            )
+            from foundationstereo_tpu.parallel.mesh import current_mesh
+
+            comb = build_cost_volume_pallas_sharded(
+                features_left[0], features_right[0], lproj, rproj, D,
+                cfg.cv_group, mesh=current_mesh()).astype(dt)
+        elif costvol_mode == "pallas":
             comb = build_cost_volume_pallas(
                 features_left[0], features_right[0], lproj, rproj, D,
                 cfg.cv_group).astype(dt)

@@ -368,6 +368,127 @@ def _cost_volume_row_kernel_roll(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref, *,
     jax.lax.fori_loop(0, maxdisp, body, None)
 
 
+def _cost_volume_row_kernel_haloed(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref,
+                                   *, maxdisp: int, num_groups: int):
+    """Halo variant of :func:`_cost_volume_row_kernel`: the right rows arrive
+    PRE-PADDED with the ``maxdisp`` columns to the left of this width shard
+    (zeros where the global column index is negative), so no VMEM scratch
+    fill is needed — the disparity shift is a pure static slice.
+
+    ln (1, G, cg, W) local left rows; rn (1, G, cg, maxdisp+W);
+    rp (1, P, maxdisp+W). Outputs match the unsharded kernel.
+    """
+    G, cg, W = ln_ref.shape[1], ln_ref.shape[2], ln_ref.shape[3]
+    ln = ln_ref[0].astype(jnp.float32)
+    rn_all = rn_ref[0].astype(jnp.float32)
+    rp_all = rp_ref[0].astype(jnp.float32)
+    for d in range(maxdisp):
+        rshift = rn_all[:, :, maxdisp - d : maxdisp - d + W]
+        gwc_ref[0, d, :, :] = jnp.sum(ln * rshift, axis=1)
+        rps_ref[0, d, :, :] = rp_all[:, maxdisp - d : maxdisp - d + W]
+
+
+def _cost_volume_rows(ln, rn, rp, maxdisp: int, num_groups: int,
+                      interpret: bool, haloed: bool):
+    """Shared pallas_call plumbing: row-major inputs -> (gwc, rps) rows.
+
+    ln (R, G, cg, W); rn/rp widths are W (haloed=False, kernel zero-pads in
+    scratch) or maxdisp+W (haloed=True, pre-padded by the caller)."""
+    R, g, cg, w = ln.shape
+    p = rp.shape[1]
+    wr = rn.shape[-1]
+    if haloed:
+        kernel = functools.partial(_cost_volume_row_kernel_haloed,
+                                   maxdisp=maxdisp, num_groups=num_groups)
+        scratch = []
+    else:
+        kernel = functools.partial(_cost_volume_row_kernel, maxdisp=maxdisp,
+                                   num_groups=num_groups)
+        scratch = [pltpu.VMEM((g, cg, w + maxdisp), jnp.float32),
+                   pltpu.VMEM((p, w + maxdisp), jnp.float32)]
+    return pl.pallas_call(
+        kernel,
+        grid=(R,),
+        in_specs=[
+            pl.BlockSpec((1, g, cg, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, cg, wr), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, wr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, maxdisp, g, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maxdisp, p, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, maxdisp, g, w), jnp.float32),
+            jax.ShapeDtypeStruct((R, maxdisp, p, w), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(ln, rn, rp)
+
+
+def build_cost_volume_pallas_sharded(left: jnp.ndarray, right: jnp.ndarray,
+                                     left_proj: jnp.ndarray,
+                                     right_proj: jnp.ndarray,
+                                     maxdisp: int, num_groups: int, mesh,
+                                     axis: str = "spatial",
+                                     interpret: bool = False) -> jnp.ndarray:
+    """Width-sharded fused cost volume: shard_map over the mesh 'spatial'
+    axis with an explicit right-feature halo exchange.
+
+    The disparity sweep at local column w needs right columns w-d for
+    d < maxdisp, i.e. up to ``maxdisp`` columns owned by left neighbors
+    (possibly several of them when maxdisp > W/shards). Each shard
+    all-gathers the (much smaller than the volume) right features over ICI,
+    slices its ``[off-maxdisp, off+W_local)`` window, and runs the Pallas row
+    kernel on pre-haloed rows — the volume itself is produced already
+    sharded, never materialized globally. Output (B, D, H, W, C') sharded on
+    W (reference semantics: core/submodule.py:399-427).
+    """
+    n = mesh.shape[axis]
+    b, h, w, c = left.shape
+    p = left_proj.shape[-1]
+    g = num_groups
+    assert w % n == 0, (w, n)
+    wl = w // n
+    dspec = "data" if ("data" in mesh.axis_names
+                       and b % mesh.shape["data"] == 0
+                       and mesh.shape["data"] > 1) else None
+    in_spec = jax.sharding.PartitionSpec(dspec, None, axis, None)
+    out_spec = jax.sharding.PartitionSpec(dspec, None, None, axis, None)
+
+    def local(l, r, lp, rp):
+        bl = l.shape[0]
+        rfull = jax.lax.all_gather(r, axis, axis=2, tiled=True)
+        rpfull = jax.lax.all_gather(rp, axis, axis=2, tiled=True)
+        off = jax.lax.axis_index(axis) * wl
+        rpad = jnp.pad(rfull, ((0, 0), (0, 0), (maxdisp, 0), (0, 0)))
+        rwin = jax.lax.dynamic_slice_in_dim(rpad, off, maxdisp + wl, axis=2)
+        rppad = jnp.pad(rpfull, ((0, 0), (0, 0), (maxdisp, 0), (0, 0)))
+        rpwin = jax.lax.dynamic_slice_in_dim(rppad, off, maxdisp + wl, axis=2)
+
+        cg = c // g
+        ln = group_normalize(l, g).reshape(bl * h, wl, g, cg).transpose(0, 2, 3, 1)
+        rn = group_normalize(rwin, g).reshape(
+            bl * h, maxdisp + wl, g, cg).transpose(0, 2, 3, 1)
+        rpk = rpwin.reshape(bl * h, maxdisp + wl, p).astype(
+            jnp.float32).transpose(0, 2, 1)
+        gwc, rps = _cost_volume_rows(ln, rn, rpk, maxdisp, g, interpret,
+                                     haloed=True)
+        gwc = gwc.reshape(bl, h, maxdisp, g, wl).transpose(0, 2, 1, 4, 3)
+        rps = rps.reshape(bl, h, maxdisp, p, wl).transpose(0, 2, 1, 4, 3)
+        lp_b = jnp.broadcast_to(
+            lp.astype(jnp.float32)[:, None], (bl, maxdisp, h, wl, p))
+        return jnp.concatenate([gwc, lp_b, rps], axis=-1)
+
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(in_spec, in_spec, in_spec, in_spec),
+                      out_specs=out_spec, check_vma=False)
+    return f(left, right, left_proj, right_proj)
+
+
 def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
                              left_proj: jnp.ndarray, right_proj: jnp.ndarray,
                              maxdisp: int, num_groups: int,
@@ -385,32 +506,8 @@ def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     rn = group_normalize(right, g).reshape(b * h, w, g, cg).transpose(0, 2, 3, 1)
     rp = right_proj.reshape(b * h, w, p).astype(jnp.float32).transpose(0, 2, 1)
 
-    kernel = functools.partial(_cost_volume_row_kernel, maxdisp=maxdisp,
-                               num_groups=g)
-    gwc, rps = pl.pallas_call(
-        kernel,
-        grid=(b * h,),
-        in_specs=[
-            pl.BlockSpec((1, g, cg, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, cg, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, maxdisp, g, w), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, maxdisp, p, w), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, maxdisp, g, w), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, maxdisp, p, w), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((g, cg, w + maxdisp), jnp.float32),
-            pltpu.VMEM((p, w + maxdisp), jnp.float32),
-        ],
-        interpret=interpret,
-    )(ln, rn, rp)
+    gwc, rps = _cost_volume_rows(ln, rn, rp, maxdisp, g, interpret,
+                                 haloed=False)
     # (B*H, D, C', W) -> (B, D, H, W, C'); left projection broadcasts over D.
     gwc = gwc.reshape(b, h, maxdisp, g, w).transpose(0, 2, 1, 4, 3)
     rps = rps.reshape(b, h, maxdisp, p, w).transpose(0, 2, 1, 4, 3)

@@ -22,20 +22,24 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-# v5e per-chip peaks (public specs); override via env/flags for other gens.
-# NOTE: a raw bf16 matmul probe on this tunnelled chip sustains ~24 TFLOP/s
-# (scripts/bench_vit_full.py), so flops-limited rooflines built from the
-# public peak are upper bounds well above what the device delivers.
+# v5e per-chip peaks (public specs). The tunnelled chip delivers far less:
+# scripts/bench_device.py measures ~369 GB/s streaming HBM bandwidth and
+# ~93 TF/s sustained bf16 matmul (bench_logs/device_r3.json) — pass
+# --hbm_gbps/--tflops (or point --device_json at a bench_device output) so
+# sol accounting is read against BOTH the public-spec and measured ceilings.
 HBM_GBPS = 819.0
 BF16_TFLOPS = 197.0
 FP32_TFLOPS = 49.0  # MXU fp32 ~= 1/4 bf16 on v5e
 
 
-def emit(results, name, t, sol):
+def emit(results, name, t, sol, sol_measured=None, n_amortized=1):
     import jax
-    row = {"kernel": name, "time_s": round(t, 5), "sol_s": round(sol, 5),
+    row = {"kernel": name, "time_s": round(t, 5), "sol_s": round(sol, 6),
            "sol_frac": round(sol / t, 4) if t > 0 else 0.0,
-           "backend": jax.default_backend()}
+           "backend": jax.default_backend(), "n_amortized": n_amortized}
+    if sol_measured is not None:
+        row["sol_s_measured_bw"] = round(sol_measured, 6)
+        row["sol_frac_measured_bw"] = round(sol_measured / t, 4) if t > 0 else 0.0
     results.append(row)
     print(json.dumps(row), flush=True)
 
@@ -62,7 +66,23 @@ def main():
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--impl", default="both", choices=["pallas", "xla", "both"])
+    ap.add_argument("--hbm_gbps", type=float, default=None,
+                    help="measured HBM bandwidth (bench_device.py)")
+    ap.add_argument("--tflops", type=float, default=None,
+                    help="measured sustained matmul TF/s (bench_device.py)")
+    ap.add_argument("--device_json", default=None,
+                    help="bench_device.py JSON to read measured ceilings from")
+    ap.add_argument("--cv_scan", type=int, default=8,
+                    help="amortize the cost-volume dispatch over a scan of N "
+                         "builds (the ~24 ms tunnel round-trip otherwise "
+                         "dominates a single dispatch)")
     args = ap.parse_args()
+
+    meas_gbps, meas_tflops = args.hbm_gbps, args.tflops
+    if args.device_json:
+        dev = json.loads(Path(args.device_json).read_text())
+        meas_gbps = meas_gbps or dev.get("hbm_gbps")
+        meas_tflops = meas_tflops or dev.get("matmul_tflops")
 
     import jax
     import jax.numpy as jnp
@@ -98,30 +118,59 @@ def main():
     results = []
 
     # --- k1: cost volume -------------------------------------------------
-    # Minimal traffic: read L/R/proj once + write (B,D,H,W,G+2P) fp32.
+    # Minimal traffic: read L/R/proj once, write (B,D,H,W,G+2P) fp32, plus
+    # ONE consumer read of the volume — the scan harness must consume every
+    # element (a full sum) or XLA dead-code-eliminates unread disparities of
+    # the fallback build, and the real pipeline re-reads the volume in
+    # corr_stem anyway.
     vol_bytes = B * D * H * W * (G + 2 * P) * 4
     feat_bytes = 2 * B * H * W * (C + P) * 4
-    k1_sol = (vol_bytes + feat_bytes) / (HBM_GBPS * 1e9)
     k1_flops = 2 * B * D * H * W * C  # gwc dot products dominate
-    k1_sol = max(k1_sol, k1_flops / (FP32_TFLOPS * 1e12))
+
+    def k1_sol_at(gbps, tflops_fp32):
+        s = (2 * vol_bytes + feat_bytes) / (gbps * 1e9)
+        return max(s, k1_flops / (tflops_fp32 * 1e12))
+
+    k1_sol = k1_sol_at(HBM_GBPS, FP32_TFLOPS)
+    k1_sol_meas = (k1_sol_at(meas_gbps, (meas_tflops or BF16_TFLOPS) / 4)
+                   if meas_gbps else None)
+
+    def scan_cv(build_fn):
+        # Amortize the ~24 ms tunnel dispatch floor over cv_scan builds in
+        # ONE program. The left feature varies per step (step-scaled) so XLA
+        # cannot CSE the builds; each step reduces its volume to a scalar so
+        # only O(cv_scan) floats leave the loop. Inputs are jit arguments
+        # (closed-over constants constant-fold at compile time).
+        n = args.cv_scan
+
+        def run(a, b_, c_, d_):
+            def step(acc, i):
+                vol = build_fn(a + 1e-6 * i, b_, c_, d_)
+                return acc + jnp.sum(vol), None
+            return jax.lax.scan(step, jnp.float32(0),
+                                jnp.arange(n, dtype=jnp.float32))[0]
+        return jax.jit(run), n
 
     if args.impl in ("pallas", "both"):
-        f = jax.jit(lambda a, b, c, d: build_cost_volume_pallas(
-            a, b, c, d, D, G, interpret=interp))
-        t = timeit(lambda: f(left, right, lp, rp), args.reps)
-        emit(results, "cost_volume_pallas", t, k1_sol)
+        f, n = scan_cv(lambda a, b_, c_, d_: build_cost_volume_pallas(
+            a, b_, c_, d_, D, G, interpret=interp))
+        t = timeit(lambda: f(left, right, lp, rp), args.reps) / n
+        emit(results, "cost_volume_pallas", t, k1_sol, k1_sol_meas, n)
     if args.impl in ("xla", "both"):
-        f = jax.jit(lambda a, b, c, d: jnp.concatenate(
-            [build_gwc_volume(a, b, D, G),
-             build_concat_volume(c, d, D)], axis=-1))
-        t = timeit(lambda: f(left, right, lp, rp), args.reps)
-        emit(results, "cost_volume_xla", t, k1_sol)
+        f, n = scan_cv(lambda a, b_, c_, d_: jnp.concatenate(
+            [build_gwc_volume(a, b_, D, G),
+             build_concat_volume(c_, d_, D)], axis=-1))
+        t = timeit(lambda: f(left, right, lp, rp), args.reps) / n
+        emit(results, "cost_volume_xla", t, k1_sol, k1_sol_meas, n)
 
     # --- k2: lookup (one GRU iteration x args.iters scan) ------------------
     # Minimal traffic per iteration: read the pyramids once.
     pyr_bytes = sum(int(np.prod(g.shape)) * 4 for g in gp) + \
         sum(int(np.prod(c.shape)) * 4 for c in cp)
     k2_sol = args.iters * pyr_bytes / (HBM_GBPS * 1e9)
+    k2_meas = (args.iters * pyr_bytes / (meas_gbps * 1e9)
+               if meas_gbps else None)
+    half = lambda x: x / 2 if x is not None else None
 
     def scan_lookup(lookup_fn):
         # The pyramids MUST be jit arguments, not closed-over constants —
@@ -144,21 +193,21 @@ def main():
         f = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_pre(
             g, c, d, r, interpret=interp))
         t = timeit(lambda: f(disp, gk, ck), args.reps)
-        emit(results, f"lookup_pallas_x{args.iters}", t, k2_sol)
+        emit(results, f"lookup_pallas_x{args.iters}", t, k2_sol, k2_meas, args.iters)
         # bf16 layouts halve the per-iteration pyramid traffic.
         gk16, ck16 = to_kernel_layout(list(gp), list(cp), dtype=jnp.bfloat16)
         gk16, ck16 = tuple(gk16), tuple(ck16)
         t = timeit(lambda: f(disp, gk16, ck16), args.reps)
-        emit(results, f"lookup_pallas_bf16_x{args.iters}", t, k2_sol / 2)
+        emit(results, f"lookup_pallas_bf16_x{args.iters}", t, k2_sol / 2, half(k2_meas), args.iters)
         # Fused kernel needs bf16 layouts (fp32 overflows VMEM — see kernel doc).
         ff = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_fused(
             g, c, d, r, interpret=interp))
         t = timeit(lambda: ff(disp, gk16, ck16), args.reps)
-        emit(results, f"lookup_pallas_fused_bf16_x{args.iters}", t, k2_sol / 2)
+        emit(results, f"lookup_pallas_fused_bf16_x{args.iters}", t, k2_sol / 2, half(k2_meas), args.iters)
     if args.impl in ("xla", "both"):
         f = scan_lookup(disparity_lookup)
         t = timeit(lambda: f(disp, gp, cp), args.reps)
-        emit(results, f"lookup_xla_x{args.iters}", t, k2_sol)
+        emit(results, f"lookup_xla_x{args.iters}", t, k2_sol, k2_meas, args.iters)
 
 
 

@@ -95,6 +95,32 @@ def test_cost_volume_kernel_matches_xla(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_cost_volume_matches_unsharded(rng):
+    """shard_map'd cost volume (explicit right-feature halo over 'spatial')
+    equals the single-device build — including maxdisp > W/shards, where the
+    halo spans multiple left neighbors."""
+    import jax
+    from foundationstereo_tpu.ops.pallas_kernels import (
+        build_cost_volume_pallas_sharded,
+    )
+    from foundationstereo_tpu.parallel.mesh import make_mesh
+
+    b, h, w, c, p, g = 1, 3, 32, 16, 4, 4
+    l = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    lp = jnp.asarray(rng.standard_normal((b, h, w, p)).astype(np.float32))
+    rp = jnp.asarray(rng.standard_normal((b, h, w, p)).astype(np.float32))
+
+    mesh = make_mesh(len(jax.devices()))  # (data, spatial)
+    for d in (6, 16):  # 16 > 32/spatial_shards: halo crosses >1 neighbor
+        ref = np.asarray(jnp.concatenate(
+            [build_gwc_volume(l, r, d, g), build_concat_volume(lp, rp, d)],
+            axis=-1))
+        got = np.asarray(build_cost_volume_pallas_sharded(
+            l, r, lp, rp, d, g, mesh=mesh, interpret=True))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_lookup_parts_mode_feeds_motion_encoder(rng):
     """return_parts skips the concat+transpose epilogue; the motion encoder
     contracting the parts against convc1 kernel slices must equal the dense
