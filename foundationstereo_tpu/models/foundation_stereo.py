@@ -262,15 +262,27 @@ class FoundationStereo(nn.Module):
             comb = jnp.concatenate([gwc.astype(dt), concat_vol.astype(dt)], axis=-1)
         comb = shard_spatial(comb, w_axis=3)
 
-        comb = CorrStem(cfg.volume_dim, dtype=dt, name="corr_stem")(comb, train)
-        comb = FeatureAtt(cfg.volume_dim, dtype=dt, name="corr_feature_att")(
+        # During training the cost-filter stack is rematerialized: its
+        # backward residuals (full-volume activations inside the APC/DT
+        # blocks) dominated the batch-2 OOM gap (docs/NOTES_ROUND2.md).
+        # nn.remat preserves the param paths (checkpoint-converter contract).
+        if train:
+            CorrStemM = nn.remat(CorrStem, static_argnums=(2,))
+            FeatureAttM = nn.remat(FeatureAtt, static_argnums=(3,))
+            HourglassM = nn.remat(Hourglass, static_argnums=(3,))
+        else:
+            CorrStemM, FeatureAttM, HourglassM = CorrStem, FeatureAtt, Hourglass
+        comb = CorrStemM(cfg.volume_dim, dtype=dt, name="corr_stem")(comb, train)
+        comb = FeatureAttM(cfg.volume_dim, dtype=dt, name="corr_feature_att")(
             comb, features_left[0], train)
-        comb = Hourglass(cfg.volume_dim, cfg.max_disp, dtype=dt,
-                         name="cost_agg")(comb, features_left, train)
+        comb = HourglassM(cfg.volume_dim, cfg.max_disp, dtype=dt,
+                          name="cost_agg")(comb, features_left, train)
         comb = shard_spatial(comb, w_axis=3)
 
         # --- Initial disparity (soft-argmin, fp32) --------------------------
-        logits = Classifier(cfg.volume_dim, dtype=dt, name="classifier")(comb, train)
+        ClassifierM = (nn.remat(Classifier, static_argnums=(2,))
+                       if train else Classifier)
+        logits = ClassifierM(cfg.volume_dim, dtype=dt, name="classifier")(comb, train)
         prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)  # (B, D, H/4, W/4)
         if init_disp is None:
             init_disp = disparity_regression(prob, D)  # (B, H/4, W/4)

@@ -123,16 +123,36 @@ class Conv(nn.Module):
             kd3 = kernel.astype(self.dtype)
             x2 = x.astype(self.dtype).reshape(B * D, H, W, C)
             d_out = (D + 2 * pd[0][0] - ks[0]) // st[0] + 1
-            acc = None
-            for t in range(ks[0]):
-                y2 = jax.lax.conv_general_dilated(
-                    x2, kd3[t], window_strides=st[1:], padding=pd[1:],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
-                y5 = y2.reshape((B, D) + y2.shape[1:])
+            F = self.features
+
+            def tap_slice(y5, t):
                 yp = jnp.pad(y5, ((0, 0), (pd[0][0], pd[0][0]), (0, 0),
                                   (0, 0), (0, 0)))
-                sl = yp[:, t : t + st[0] * (d_out - 1) + 1 : st[0]]
-                acc = sl if acc is None else acc + sl
+                return yp[:, t : t + st[0] * (d_out - 1) + 1 : st[0]]
+
+            if F <= 64 and ks[0] * F <= 256:
+                # Narrow-output convs starve the 128-lane MXU; run ALL kd
+                # taps as ONE conv with the taps stacked on output channels
+                # (kd*F lanes), then shift-sum along D — same products and
+                # traffic, ~kd x the MXU occupancy.
+                kstack = kd3.transpose(1, 2, 3, 0, 4).reshape(
+                    ks[1], ks[2], C, ks[0] * F)
+                y2 = jax.lax.conv_general_dilated(
+                    x2, kstack, window_strides=st[1:], padding=pd[1:],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y6 = y2.reshape((B, D) + y2.shape[1:3] + (ks[0], F))
+                acc = None
+                for t in range(ks[0]):
+                    sl = tap_slice(y6[..., t, :], t)
+                    acc = sl if acc is None else acc + sl
+            else:
+                acc = None
+                for t in range(ks[0]):
+                    y2 = jax.lax.conv_general_dilated(
+                        x2, kd3[t], window_strides=st[1:], padding=pd[1:],
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    sl = tap_slice(y2.reshape((B, D) + y2.shape[1:]), t)
+                    acc = sl if acc is None else acc + sl
             if bias is not None:
                 acc = acc + bias.astype(self.dtype)
             return acc
