@@ -59,7 +59,7 @@ def wait_device_alive(max_minutes: int = 25) -> bool:
 
 
 def run_bench(height: int, width: int, vit_size: str, max_disp: int, iters: int,
-              warmup: int, reps: int) -> float:
+              warmup: int, reps: int, batch: int = 1) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -73,8 +73,8 @@ def run_bench(height: int, width: int, vit_size: str, max_disp: int, iters: int,
     cfg = ModelConfig(max_disp=max_disp, vit_size=vit_size, mixed_precision=True)
     model = FoundationStereo(cfg)
     rng = np.random.default_rng(0)
-    left = jnp.asarray(rng.uniform(0, 255, (1, height, width, 3)).astype(np.float32))
-    right = jnp.asarray(rng.uniform(0, 255, (1, height, width, 3)).astype(np.float32))
+    left = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 255, (batch, height, width, 3)).astype(np.float32))
 
     log(f"devices: {jax.devices()}")
     # CRITICAL: every dispatch below is fenced by a scalar readback before
@@ -107,8 +107,9 @@ def run_bench(height: int, width: int, vit_size: str, max_disp: int, iters: int,
         run_once()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    log(f"times: {[f'{t:.3f}' for t in times]} -> best {best:.3f}s")
-    return 1.0 / best
+    log(f"times: {[f'{t:.3f}' for t in times]} -> best {best:.3f}s"
+        f" ({batch} pair(s)/dispatch)")
+    return batch / best
 
 
 def main():
@@ -120,6 +121,8 @@ def main():
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="pairs per dispatch; throughput = batch/latency")
     args = ap.parse_args()
 
     wait_device_alive()
@@ -129,7 +132,7 @@ def main():
     for vit, md in attempts:
         try:
             value = run_bench(args.height, args.width, vit, md, args.iters,
-                              args.warmup, args.reps)
+                              args.warmup, args.reps, args.batch)
             used = (vit, md)
             break
         except Exception as e:  # noqa: BLE001 — fall back on OOM
