@@ -44,6 +44,9 @@ class ModelConfig:
     # 6.2 ms/iter — the all-levels VMEM working set limits row pipelining),
     # so default off; kept for future tuning.
     fused_lookup: bool = False
+    # Sublane-gather lookup kernel: one pre-blended row set + dynamic_gather
+    # per channel instead of K tent contractions over D (~5x fewer VPU ops).
+    gather_lookup: bool = False
     bf16_pyramids: bool = True    # bf16 geometry/corr pyramids on the Pallas
                                   # path (halves refine-loop HBM traffic;
                                   # fp32 accumulation inside the kernel)

@@ -164,7 +164,8 @@ class _RefineStep(nn.Module):
             geo_feat = disparity_lookup_pallas_sharded(
                 list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
                 disp, cfg.corr_radius, mesh=current_mesh(),
-                fused=cfg.fused_lookup, out_dtype=dt)
+                fused=cfg.fused_lookup, out_dtype=dt,
+                gather=cfg.gather_lookup)
         elif self.lookup_mode == "pallas":
             lookup = (disparity_lookup_pallas_fused if cfg.fused_lookup
                       else disparity_lookup_pallas_pre)
@@ -172,7 +173,8 @@ class _RefineStep(nn.Module):
             # convc1 kernel slices, skipping the concat+transpose epilogue.
             geo_feat = lookup(
                 list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),
-                disp, cfg.corr_radius, out_dtype=dt, return_parts=True)
+                disp, cfg.corr_radius, out_dtype=dt, return_parts=True,
+                gather=cfg.gather_lookup)
         else:
             geo_feat = disparity_lookup(
                 list(invariants["geo_pyramid"]), list(invariants["corr_pyramid"]),

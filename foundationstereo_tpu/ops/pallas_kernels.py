@@ -33,6 +33,54 @@ from foundationstereo_tpu.ops.cost_volume import group_normalize
 # ---------------------------------------------------------------------------
 
 
+def _gather_taps(vol_c, x, radius: int, D: int, W: int):
+    """Sample the K=2r+1 taps around ``x`` from one (D, W) channel slab via a
+    sublane gather instead of K tent contractions over D.
+
+    All taps share x's fractional part (taps sit at integer offsets from x),
+    so ONE pre-blended row set u[j] = vpad[j]*(1-f) + vpad[j+1]*f followed by
+    a per-lane gather of K rows replaces the 2r+1 full multiply-reduce passes
+    of the tent formulation — ~(3D + K) VPU ops per channel instead of ~18D.
+    Zero-padding (r+1 rows each side) + index clipping reproduces the tent's
+    zero out-of-range semantics exactly (torch grid_sample padding_mode=
+    'zeros', align_corners=True — core/utils/utils.py:44-55).
+    """
+    r = radius
+    K = 2 * r + 1
+    M = D + 2 * r + 1
+    i0f = jnp.floor(x)
+    f = x - i0f                                            # (W,) in [0, 1)
+    # u index j corresponds to volume position j - (r+1); tap m in [-r, r]
+    # reads position i0+m -> j = i0 + m + r + 1 in [i0+1, i0+K]. Mosaic's
+    # dynamic_gather lowering requires indices shaped like the operand
+    # (jax pallas mosaic lowering: "Only 2D gather", idx == operand shape),
+    # so build a full-height index grid and keep the first K gathered rows
+    # (rows >= K are clipped-valid garbage, sliced away).
+    idx = jnp.clip(
+        i0f.astype(jnp.int32)[None, :]
+        + jax.lax.broadcasted_iota(jnp.int32, (M, W), 0) + 1,
+        0, M - 1)                                          # (M, W)
+    zpad = jnp.zeros((r + 1, W), jnp.float32)
+    vpad = jnp.concatenate([zpad, vol_c, zpad], axis=0)    # (D+2r+2, W)
+    u = vpad[:-1] * (1.0 - f)[None, :] + vpad[1:] * f[None, :]   # (M, W)
+    return jnp.take_along_axis(u, idx, axis=0)[:K]         # (K, W)
+
+
+def _lookup_row_kernel_gather(disp_ref, vol_ref, out_ref, *, radius: int,
+                              scale: float):
+    """Gather-based variant of :func:`_lookup_row_kernel` (same contract)."""
+    C, D, W = vol_ref.shape[1], vol_ref.shape[2], vol_ref.shape[3]
+    x = disp_ref[0, 0, :].astype(jnp.float32) * scale      # (W,)
+
+    def body(c, carry):
+        vol_c = vol_ref[0, c].astype(jnp.float32)          # (D, W)
+        out_ref[0, c, :, :] = _gather_taps(
+            vol_c, x, radius, D, W).astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, C, body, None)
+
+
 def _lookup_row_kernel(disp_ref, vol_ref, out_ref, *, radius: int, scale: float):
     """One image row, width on the lane (minor) axis.
 
@@ -63,15 +111,19 @@ def _lookup_row_kernel(disp_ref, vol_ref, out_ref, *, radius: int, scale: float)
 
 def lookup_level_pallas(vol: jnp.ndarray, disp: jnp.ndarray, radius: int,
                         scale: float, interpret: bool = False,
-                        out_dtype=jnp.float32) -> jnp.ndarray:
+                        out_dtype=jnp.float32,
+                        gather: bool = False) -> jnp.ndarray:
     """Sample ``vol`` (R, C, D, W) at disp*scale + [-r..r] -> (R, C, K, W).
 
     Accumulation is fp32; ``out_dtype`` sets the stored dtype (bf16 halves
     the per-iteration HBM write+re-read of the tap features under mixed
-    precision)."""
+    precision). ``gather=True`` uses the sublane-gather kernel (one blended
+    row set + dynamic_gather per channel instead of K tent contractions)."""
     R, C, D, W = vol.shape
     K = 2 * radius + 1
-    kernel = functools.partial(_lookup_row_kernel, radius=radius, scale=scale)
+    kernel = functools.partial(
+        _lookup_row_kernel_gather if gather else _lookup_row_kernel,
+        radius=radius, scale=scale)
     disp = disp.reshape(R, 1, W)  # trailing (1, W) satisfies block tiling rules
     return pl.pallas_call(
         kernel,
@@ -100,7 +152,8 @@ def to_kernel_layout(geo_pyramid, corr_pyramid, dtype=jnp.float32):
     return geo_k, corr_k
 
 
-def _lookup_fused_kernel(disp_ref, xc_ref, *refs, radius: int, n_levels: int):
+def _lookup_fused_kernel(disp_ref, xc_ref, *refs, radius: int, n_levels: int,
+                         gather: bool = False):
     """All pyramid levels of one image row in a single kernel launch.
 
     refs = (g_0..g_{L-1}, c_0..c_{L-1}, out_g0, out_c0, ..., out_g{L-1}, ...):
@@ -120,6 +173,16 @@ def _lookup_fused_kernel(disp_ref, xc_ref, *refs, radius: int, n_levels: int):
                                     (vols[n_levels + i], outs[2 * i + 1],
                                      xc * scale)):
             C, D, W = vol_ref.shape[1], vol_ref.shape[2], vol_ref.shape[3]
+            if gather:
+                def body(c, carry, vol_ref=vol_ref, out_ref=out_ref, x=x, D=D,
+                         W=W):
+                    vol_c = vol_ref[0, c].astype(jnp.float32)  # (D, W)
+                    out_ref[0, c, :, :] = _gather_taps(
+                        vol_c, x, r, D, W).astype(out_ref.dtype)
+                    return carry
+
+                jax.lax.fori_loop(0, C, body, None)
+                continue
             j = jax.lax.broadcasted_iota(
                 jnp.int32, (D + 2 * r, W), 0).astype(jnp.float32) - float(r)
             text = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - j))
@@ -138,7 +201,8 @@ def _lookup_fused_kernel(disp_ref, xc_ref, *refs, radius: int, n_levels: int):
 def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
                                   interpret: bool = False,
                                   x_offset=0, out_dtype=jnp.float32,
-                                  return_parts: bool = False):
+                                  return_parts: bool = False,
+                                  gather: bool = False):
     """Single-dispatch-per-iteration lookup (all levels in one pallas_call).
 
     Same contract as :func:`disparity_lookup_pallas_pre`. REQUIRES 2-byte
@@ -152,7 +216,8 @@ def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
                                            interpret=interpret,
                                            x_offset=x_offset,
                                            out_dtype=out_dtype,
-                                           return_parts=return_parts)
+                                           return_parts=return_parts,
+                                           gather=gather)
     b, h, w = disp.shape
     R = b * h
     K = 2 * radius + 1
@@ -164,7 +229,7 @@ def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
     vols = ([g.reshape(R, g.shape[2], g.shape[3], w) for g in geo_k]
             + [c.reshape(R, 1, c.shape[3], w) for c in corr_k])
     kernel = functools.partial(_lookup_fused_kernel, radius=radius,
-                               n_levels=n_levels)
+                               n_levels=n_levels, gather=gather)
 
     def vspec(v):
         return pl.BlockSpec((1,) + v.shape[1:], lambda i: (i, 0, 0, 0),
@@ -204,7 +269,8 @@ def disparity_lookup_pallas_fused(geo_k, corr_k, disp, radius: int,
 def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
                                 interpret: bool = False,
                                 x_offset=0, out_dtype=jnp.float32,
-                                return_parts: bool = False):
+                                return_parts: bool = False,
+                                gather: bool = False):
     """Lookup from kernel-layout pyramids (see :func:`to_kernel_layout`).
 
     geo_k: levels of (B, H, C, D_l, W); corr_k: (B, H, 1, W_l, W);
@@ -233,12 +299,12 @@ def disparity_lookup_pallas_pre(geo_k, corr_k, disp, radius: int,
         c_dim, d_dim = geo.shape[2], geo.shape[3]
         g = lookup_level_pallas(geo.reshape(b * h, c_dim, d_dim, w),
                                 disp_rows, radius, scale, interpret=interpret,
-                                out_dtype=part_dtype)
+                                out_dtype=part_dtype, gather=gather)
         parts.append(g.reshape(b * h, c_dim * K, w))
         xc = coords - disp_rows
         c = lookup_level_pallas(corr.reshape(b * h, 1, corr.shape[3], w),
                                 xc, radius, scale, interpret=interpret,
-                                out_dtype=part_dtype)
+                                out_dtype=part_dtype, gather=gather)
         parts.append(c.reshape(b * h, K, w))
     if return_parts:
         return parts
@@ -256,7 +322,8 @@ def disparity_lookup_pallas_sharded(geo_k, corr_k, disp, radius: int, mesh,
                                     axis: str = "spatial",
                                     interpret: bool = False,
                                     fused: bool = True,
-                                    out_dtype=jnp.float32) -> jnp.ndarray:
+                                    out_dtype=jnp.float32,
+                                    gather: bool = False) -> jnp.ndarray:
     """Width-sharded Pallas lookup: shard_map over the mesh 'spatial' axis.
 
     The lookup is width-local — the geometry pyramids' sample axis is
@@ -284,7 +351,8 @@ def disparity_lookup_pallas_sharded(geo_k, corr_k, disp, radius: int, mesh,
     def local(geo_l, corr_l, disp_l):
         off = (jax.lax.axis_index(axis) * w_local).astype(jnp.float32)
         return lookup(list(geo_l), list(corr_l), disp_l, radius,
-                      interpret=interpret, x_offset=off, out_dtype=out_dtype)
+                      interpret=interpret, x_offset=off, out_dtype=out_dtype,
+                      gather=gather)
 
     f = jax.shard_map(
         local, mesh=mesh,

@@ -5,6 +5,8 @@ Times a lax.scan of the FULL refine step (pyramid lookup + selective
 multi-GRU update block) for `--iters` iterations, in the same configurations
 the model can run:
 
+  gather  — sublane-gather Pallas lookup (pre-blend + dynamic_gather),
+            parts layout;
   parts   — Pallas lookup returning kernel-layout parts consumed by the
             motion encoder's einsum contraction (default inference path);
   dense   — Pallas lookup with the concat+transpose epilogue (round-2 path);
@@ -92,6 +94,10 @@ def main():
             return lambda d, g, c: disparity_lookup_pallas_pre(
                 list(g), list(c), d, cfg.corr_radius, out_dtype=dt,
                 return_parts=True)
+        if mode == "gather":  # sublane-gather kernel, parts layout
+            return lambda d, g, c: disparity_lookup_pallas_pre(
+                list(g), list(c), d, cfg.corr_radius, out_dtype=dt,
+                return_parts=True, gather=True)
         if mode == "dense":
             return lambda d, g, c: disparity_lookup_pallas_pre(
                 list(g), list(c), d, cfg.corr_radius, out_dtype=dt).astype(dt)

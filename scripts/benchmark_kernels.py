@@ -199,6 +199,15 @@ def main():
         gk16, ck16 = tuple(gk16), tuple(ck16)
         t = timeit(lambda: f(disp, gk16, ck16), args.reps)
         emit(results, f"lookup_pallas_bf16_x{args.iters}", t, k2_sol / 2, half(k2_meas), args.iters)
+        # Sublane-gather kernel: pre-blend + dynamic_gather per channel.
+        fg = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_pre(
+            g, c, d, r, interpret=interp, gather=True))
+        t = timeit(lambda: fg(disp, gk, ck), args.reps)
+        emit(results, f"lookup_pallas_gather_x{args.iters}", t, k2_sol,
+             k2_meas, args.iters)
+        t = timeit(lambda: fg(disp, gk16, ck16), args.reps)
+        emit(results, f"lookup_pallas_gather_bf16_x{args.iters}", t,
+             k2_sol / 2, half(k2_meas), args.iters)
         # Fused kernel needs bf16 layouts (fp32 overflows VMEM — see kernel doc).
         ff = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_fused(
             g, c, d, r, interpret=interp))

@@ -29,6 +29,32 @@ def test_lookup_kernel_matches_xla(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_gather_lookup_matches_xla(rng):
+    """Sublane-gather lookup (pre-blend + dynamic_gather) == the tent
+    contraction, including far-out-of-range coordinates (zero padding),
+    boundary-straddling taps, and exact-integer positions (frac == 0)."""
+    b, h, w, c, d, levels, radius = 1, 4, 32, 6, 16, 3, 4
+    geo = jnp.asarray(rng.standard_normal((b, h, w, c, d)).astype(np.float32))
+    corr = jnp.asarray(rng.standard_normal((b, h, w, w)).astype(np.float32))
+    disp = rng.uniform(-d, 2 * d, (b, h, w)).astype(np.float32)
+    disp[0, 0, :8] = np.arange(8, dtype=np.float32)   # exact integers
+    disp[0, 1, :4] = [-100.0, 1e4, -0.5, d - 0.5]     # extremes + straddles
+    disp = jnp.asarray(disp)
+    gp = pool_last_axis(geo, levels - 1)
+    cp = pool_last_axis(corr, levels - 1)
+
+    ref = np.asarray(disparity_lookup(gp, cp, disp, radius))
+    gk, ck = to_kernel_layout(gp, cp)
+    got = np.asarray(disparity_lookup_pallas_pre(
+        gk, ck, disp, radius, interpret=True, gather=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    gk16, ck16 = to_kernel_layout(gp, cp, dtype=jnp.bfloat16)
+    got16 = np.asarray(disparity_lookup_pallas_fused(
+        gk16, ck16, disp, radius, interpret=True, gather=True))
+    np.testing.assert_allclose(got16, ref, rtol=0.02, atol=0.05)
+
+
 def test_sharded_lookup_matches_unsharded(rng):
     """shard_map'd lookup over an 8-device 'spatial' width sharding equals
     the plain lookup (incl. the global x-offset for the correlation axis)."""
