@@ -117,6 +117,18 @@ def main():
 
     results = []
 
+    def attempt(name, thunk):
+        """Run one kernel timing; a per-kernel compile failure (e.g. a Mosaic
+        'Not implemented' on an experimental variant) becomes an error row
+        instead of killing the whole suite."""
+        try:
+            thunk()
+        except Exception as e:
+            row = {"kernel": name,
+                   "error": f"{type(e).__name__}: {str(e)[:300]}"}
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
     # --- k1: cost volume -------------------------------------------------
     # Minimal traffic: read L/R/proj once, write (B,D,H,W,G+2P) fp32, plus
     # ONE consumer read of the volume — the scan harness must consume every
@@ -200,19 +212,27 @@ def main():
         t = timeit(lambda: f(disp, gk16, ck16), args.reps)
         emit(results, f"lookup_pallas_bf16_x{args.iters}", t, k2_sol / 2, half(k2_meas), args.iters)
         # Sublane-gather kernel: pre-blend + dynamic_gather per channel.
+        # Measured r3: Mosaic rejects it at real D ("Not implemented:
+        # Multiple source vregs along gather dimension" — dynamic_gather
+        # along sublanes is single-vreg only, D+2r+1=113 needs 15). Kept as
+        # an attempt() so the negative result is recorded, not fatal.
         fg = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_pre(
             g, c, d, r, interpret=interp, gather=True))
-        t = timeit(lambda: fg(disp, gk, ck), args.reps)
-        emit(results, f"lookup_pallas_gather_x{args.iters}", t, k2_sol,
-             k2_meas, args.iters)
-        t = timeit(lambda: fg(disp, gk16, ck16), args.reps)
-        emit(results, f"lookup_pallas_gather_bf16_x{args.iters}", t,
-             k2_sol / 2, half(k2_meas), args.iters)
+        attempt(f"lookup_pallas_gather_x{args.iters}", lambda: emit(
+            results, f"lookup_pallas_gather_x{args.iters}",
+            timeit(lambda: fg(disp, gk, ck), args.reps), k2_sol,
+            k2_meas, args.iters))
+        attempt(f"lookup_pallas_gather_bf16_x{args.iters}", lambda: emit(
+            results, f"lookup_pallas_gather_bf16_x{args.iters}",
+            timeit(lambda: fg(disp, gk16, ck16), args.reps), k2_sol / 2,
+            half(k2_meas), args.iters))
         # Fused kernel needs bf16 layouts (fp32 overflows VMEM — see kernel doc).
         ff = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_fused(
             g, c, d, r, interpret=interp))
-        t = timeit(lambda: ff(disp, gk16, ck16), args.reps)
-        emit(results, f"lookup_pallas_fused_bf16_x{args.iters}", t, k2_sol / 2, half(k2_meas), args.iters)
+        attempt(f"lookup_pallas_fused_bf16_x{args.iters}", lambda: emit(
+            results, f"lookup_pallas_fused_bf16_x{args.iters}",
+            timeit(lambda: ff(disp, gk16, ck16), args.reps), k2_sol / 2,
+            half(k2_meas), args.iters))
     if args.impl in ("xla", "both"):
         f = scan_lookup(disparity_lookup)
         t = timeit(lambda: f(disp, gp, cp), args.reps)
