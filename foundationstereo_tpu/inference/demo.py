@@ -139,7 +139,11 @@ def main(argv=None):
     else:
         padder0 = InputPadder(left.shape, divis_by=32)
         l0, r0 = padder0.pad(left, right)
-        variables = model.init(jax.random.PRNGKey(0), l0, r0, iters=1, test_mode=True)
+        # Jit the init: eager flax init dispatches hundreds of tiny ops —
+        # tens of minutes over the tunnelled TPU runtime.
+        variables = jax.jit(
+            lambda k: model.init(k, l0, r0, iters=1, test_mode=True)
+        )(jax.random.PRNGKey(0))
         logging.info("no --ckpt_dir given: using randomly initialized weights")
 
     @functools.partial(jax.jit, static_argnums=(2,))

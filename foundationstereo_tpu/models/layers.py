@@ -12,6 +12,7 @@ are always stored fp32.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -130,11 +131,14 @@ class Conv(nn.Module):
                                   (0, 0), (0, 0)))
                 return yp[:, t : t + st[0] * (d_out - 1) + 1 : st[0]]
 
-            if F <= 64 and ks[0] * F <= 256:
-                # Narrow-output convs starve the 128-lane MXU; run ALL kd
-                # taps as ONE conv with the taps stacked on output channels
-                # (kd*F lanes), then shift-sum along D — same products and
-                # traffic, ~kd x the MXU occupancy.
+            if (F <= 64 and ks[0] * F <= 256
+                    and os.environ.get("FSTPU_TAP_STACK") == "1"):
+                # Stack ALL kd taps as ONE conv on output channels (kd*F
+                # lanes), shift-sum along D after. Theoretically ~kd x the
+                # MXU occupancy, but MEASURED SLOWER end-to-end on the v5e
+                # (stage G: corr_stem 0.110s stacked vs 0.074s per-tap;
+                # flagship pair 1.033s vs 0.995s) — the strided minor-dim
+                # tap slices relayout. Opt-in for future re-measurement.
                 kstack = kd3.transpose(1, 2, 3, 0, 4).reshape(
                     ks[1], ks[2], C, ks[0] * F)
                 y2 = jax.lax.conv_general_dilated(

@@ -87,8 +87,11 @@ def main():
         if variables is None:
             padder0 = InputPadder(left.shape, divis_by=32)
             l0, r0 = padder0.pad(left, right)
-            variables = model.init(jax.random.PRNGKey(0), l0, r0, iters=1,
-                                   test_mode=True)
+            # Jit the init: eager flax init is hundreds of tiny dispatches —
+            # tens of minutes over the tunnelled TPU runtime (round-2 finding).
+            variables = jax.jit(
+                lambda k: model.init(k, l0, r0, iters=1, test_mode=True)
+            )(jax.random.PRNGKey(0))
             if args.ckpt_dir:
                 from foundationstereo_tpu.train.checkpoints import CheckpointManager
                 mgr = CheckpointManager(args.ckpt_dir)

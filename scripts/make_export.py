@@ -44,7 +44,9 @@ def main():
 
     import jax.numpy as jnp
     left = jnp.zeros((1, args.height, args.width, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), left, left, iters=1, test_mode=True)
+    variables = jax.jit(  # jitted: eager init is minutes of tiny dispatches
+        lambda k: model.init(k, left, left, iters=1, test_mode=True)
+    )(jax.random.PRNGKey(0))
     if args.ckpt_dir:
         from foundationstereo_tpu.train.checkpoints import CheckpointManager
         mgr = CheckpointManager(args.ckpt_dir)
