@@ -82,9 +82,12 @@ def run_bench(height: int, width: int, vit_size: str, max_disp: int, iters: int,
     # before execution finishes, and overlapping executions of a large
     # program wedge the device.
     t0 = time.time()
+    # Images are jit ARGUMENTS, not closures: closed-over arrays constant-fold
+    # into the executable at compile time (ADVICE r3; the r03 official run
+    # spent 679 s in this init with the closure form).
     variables = jax.jit(
-        lambda k: model.init(k, left, right, iters=1, test_mode=True)
-    )(jax.random.PRNGKey(0))
+        lambda k, l, r: model.init(k, l, r, iters=1, test_mode=True)
+    )(jax.random.PRNGKey(0), left, right)
     float(jnp.sum(jax.tree.leaves(variables["params"])[0]))
     log(f"init: {time.time() - t0:.1f}s, params="
         f"{sum(np.prod(p.shape) for p in jax.tree.leaves(variables['params'])) / 1e6:.1f}M")

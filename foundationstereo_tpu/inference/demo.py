@@ -140,10 +140,12 @@ def main(argv=None):
         padder0 = InputPadder(left.shape, divis_by=32)
         l0, r0 = padder0.pad(left, right)
         # Jit the init: eager flax init dispatches hundreds of tiny ops —
-        # tens of minutes over the tunnelled TPU runtime.
+        # tens of minutes over the tunnelled TPU runtime. Images are jit
+        # arguments, not closures (closed-over arrays constant-fold at
+        # compile time — ADVICE r3).
         variables = jax.jit(
-            lambda k: model.init(k, l0, r0, iters=1, test_mode=True)
-        )(jax.random.PRNGKey(0))
+            lambda k, l, r: model.init(k, l, r, iters=1, test_mode=True)
+        )(jax.random.PRNGKey(0), l0, r0)
         logging.info("no --ckpt_dir given: using randomly initialized weights")
 
     @functools.partial(jax.jit, static_argnums=(2,))

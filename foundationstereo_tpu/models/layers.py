@@ -23,6 +23,11 @@ from flax import linen as nn
 
 Dtype = Any
 
+# Default for Conv.tap_stack, captured ONCE at import so the choice cannot
+# silently diverge between modules traced at different times in one process
+# (ADVICE r3). Opt-in: measured slower on the v5e (docs/NOTES_ROUND3.md).
+TAP_STACK_DEFAULT = os.environ.get("FSTPU_TAP_STACK") == "1"
+
 
 def _ntuple(x, n):
     if isinstance(x, (tuple, list)):
@@ -82,6 +87,10 @@ class Conv(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    # Stacked-tap variant of the full-3D decomposition (see below). None =
+    # module default captured at import (TAP_STACK_DEFAULT); explicit
+    # True/False overrides per instance.
+    tap_stack: bool | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -131,8 +140,9 @@ class Conv(nn.Module):
                                   (0, 0), (0, 0)))
                 return yp[:, t : t + st[0] * (d_out - 1) + 1 : st[0]]
 
-            if (F <= 64 and ks[0] * F <= 256
-                    and os.environ.get("FSTPU_TAP_STACK") == "1"):
+            stack = (TAP_STACK_DEFAULT if self.tap_stack is None
+                     else self.tap_stack)
+            if F <= 64 and ks[0] * F <= 256 and stack:
                 # Stack ALL kd taps as ONE conv on output channels (kd*F
                 # lanes), shift-sum along D after. Theoretically ~kd x the
                 # MXU occupancy, but MEASURED SLOWER end-to-end on the v5e

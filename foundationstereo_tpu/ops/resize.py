@@ -89,6 +89,20 @@ _METHOD_ALIASES = {
     "nearest": "nearest",
 }
 
+# 2-byte float dtypes keep their width through the interpolation einsums
+# (matrix cast down, fp32 MXU accumulation): under the bf16 mixed-precision
+# policy a resize is then a native-rate MXU op with no fp32 materialization
+# of the (often large) intermediate. fp32 inputs compute in fp32 exactly as
+# before — the golden/parity tests all run there.
+_HALF_FLOATS = (jnp.bfloat16, jnp.float16)
+
+
+def _apply_axis(x, m, subscripts):
+    cdt = x.dtype if x.dtype in _HALF_FLOATS else jnp.float32
+    y = jnp.einsum(subscripts, m.astype(cdt), x.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
 
 def resize2d(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear",
              align_corners: bool = False) -> jnp.ndarray:
@@ -96,20 +110,19 @@ def resize2d(x: jnp.ndarray, out_hw: tuple[int, int], method: str = "bilinear",
 
     Exactly matches ``torch.nn.functional.interpolate(x, size=out_hw,
     mode=method, align_corners=align_corners, antialias=False)`` (NCHW there,
-    NHWC here).
+    NHWC here) for fp32 inputs; 2-byte float inputs interpolate at their own
+    width (fp32 accumulation) per the module policy above.
     """
     method = _METHOD_ALIASES[method]
     h_in, w_in = x.shape[-3], x.shape[-2]
     h_out, w_out = out_hw
-    dt = x.dtype
-    xf = x.astype(jnp.float32)
     if h_in != h_out:
         mh = resize1d_matrix(h_in, h_out, method, align_corners)
-        xf = jnp.einsum("oh,...hwc->...owc", mh, xf)
+        x = _apply_axis(x, mh, "oh,...hwc->...owc")
     if w_in != w_out:
         mw = resize1d_matrix(w_in, w_out, method, align_corners)
-        xf = jnp.einsum("ow,...hwc->...hoc", mw, xf)
-    return xf.astype(dt)
+        x = _apply_axis(x, mw, "ow,...hwc->...hoc")
+    return x
 
 
 def resize2d_via(x: jnp.ndarray, mid_hw: tuple[int, int], out_hw: tuple[int, int],
@@ -128,8 +141,6 @@ def resize2d_via(x: jnp.ndarray, mid_hw: tuple[int, int], out_hw: tuple[int, int
     method = _METHOD_ALIASES[method]
     h_in, w_in = x.shape[-3], x.shape[-2]
     (h_mid, w_mid), (h_out, w_out) = mid_hw, out_hw
-    dt = x.dtype
-    xf = x.astype(jnp.float32)
 
     def composed(in_size, mid_size, out_size):
         m1 = _interp_matrix_np(in_size, mid_size, method, align_corners)
@@ -138,10 +149,10 @@ def resize2d_via(x: jnp.ndarray, mid_hw: tuple[int, int], out_hw: tuple[int, int
             (m2.astype(np.float64) @ m1.astype(np.float64)).astype(np.float32))
 
     if (h_in, h_mid, h_out) != (h_in, h_in, h_in):
-        xf = jnp.einsum("oh,...hwc->...owc", composed(h_in, h_mid, h_out), xf)
+        x = _apply_axis(x, composed(h_in, h_mid, h_out), "oh,...hwc->...owc")
     if (w_in, w_mid, w_out) != (w_in, w_in, w_in):
-        xf = jnp.einsum("ow,...hwc->...hoc", composed(w_in, w_mid, w_out), xf)
-    return xf.astype(dt)
+        x = _apply_axis(x, composed(w_in, w_mid, w_out), "ow,...hwc->...hoc")
+    return x
 
 
 def resize_dhw(x: jnp.ndarray, out_dhw: tuple[int, int, int], method: str = "trilinear",
@@ -150,15 +161,13 @@ def resize_dhw(x: jnp.ndarray, out_dhw: tuple[int, int, int], method: str = "tri
     method = _METHOD_ALIASES[method]
     d_in, h_in, w_in = x.shape[-4], x.shape[-3], x.shape[-2]
     d_out, h_out, w_out = out_dhw
-    dt = x.dtype
-    xf = x.astype(jnp.float32)
     if d_in != d_out:
         md = resize1d_matrix(d_in, d_out, method, align_corners)
-        xf = jnp.einsum("od,...dhwc->...ohwc", md, xf)
+        x = _apply_axis(x, md, "od,...dhwc->...ohwc")
     if h_in != h_out:
         mh = resize1d_matrix(h_in, h_out, method, align_corners)
-        xf = jnp.einsum("oh,...dhwc->...dowc", mh, xf)
+        x = _apply_axis(x, mh, "oh,...dhwc->...dowc")
     if w_in != w_out:
         mw = resize1d_matrix(w_in, w_out, method, align_corners)
-        xf = jnp.einsum("ow,...dhwc->...dhoc", mw, xf)
-    return xf.astype(dt)
+        x = _apply_axis(x, mw, "ow,...dhwc->...dhoc")
+    return x

@@ -57,8 +57,8 @@ def _init_variables(model, cfg, seed: int = 0):
 
     h, w = 64, 96
     left = jnp.zeros((1, h, w, 3), jnp.float32)
-    init = jax.jit(lambda k: model.init(k, left, left, iters=1, test_mode=True))
-    return init(jax.random.PRNGKey(seed))
+    init = jax.jit(lambda k, l, r: model.init(k, l, r, iters=1, test_mode=True))
+    return init(jax.random.PRNGKey(seed), left, left)
 
 
 def from_pretrained(path: str | Path, *, ema: bool = False,

@@ -82,8 +82,8 @@ def main():
                             .astype(np.float32))
         with mesh_context(mesh):
             variables = jax.jit(
-                lambda k: model.init(k, left, right, iters=1, test_mode=True)
-            )(jax.random.PRNGKey(0))
+                lambda k, l, r: model.init(k, l, r, iters=1, test_mode=True)
+            )(jax.random.PRNGKey(0), left, right)
             variables = jax.device_put(variables, replicate(mesh))
             batch = place_batch({"left": np.asarray(left),
                                  "right": np.asarray(right)}, mesh)

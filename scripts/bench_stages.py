@@ -91,7 +91,7 @@ def main():
         def build():
             m = DepthAnythingFeature(args.vit_size, dtype=dt)
             x = jax.random.normal(key, (2, hr, wr, 3), dt)
-            v = jax.jit(lambda k: m.init(k, x))(key)
+            v = jax.jit(m.init)(key, x)
             f = jax.jit(lambda v, x: m.apply(v, x)["out"])
             return (f, v, x)
 
@@ -101,7 +101,7 @@ def main():
         def build():
             m = Feature(cfg, dtype=dt)
             x = jax.random.normal(key, (2, H, W, 3), dt)
-            v = jax.jit(lambda k: m.init(k, x))(key)
+            v = jax.jit(m.init)(key, x)
             f = jax.jit(lambda v, x: m.apply(v, x)[0][0])
             return (f, v, x)
 
@@ -125,7 +125,7 @@ def main():
             x = jax.random.normal(key, (1, D, H4, W4, 28), dt)
             feats = [jax.random.normal(key, (1, H // s, W // s, ch), dt)
                      for s, ch in zip((4, 8, 16, 32), feature_dims(cfg))]
-            v = jax.jit(lambda k: m.init(k, x, feats))(key)
+            v = jax.jit(m.init)(key, x, feats)
             f = jax.jit(lambda v, x: m.apply(v, x, feats))
             return (f, v, x)
 
@@ -189,7 +189,7 @@ def main():
             l = jax.random.uniform(key, (1, H, W, 3), jnp.float32, 0, 255)
             r = jax.random.uniform(jax.random.fold_in(key, 1),
                                    (1, H, W, 3), jnp.float32, 0, 255)
-            v = jax.jit(lambda k: m.init(k, l, r, iters=1, test_mode=True))(key)
+            v = jax.jit(lambda k, a, b: m.init(k, a, b, iters=1, test_mode=True))(key, l, r)
             f = jax.jit(lambda v, a, b: m.apply(v, a, b, iters=args.iters,
                                                 test_mode=True))
             return (f, v, l, r)

@@ -218,19 +218,24 @@ def main():
         # an attempt() so the negative result is recorded, not fatal.
         fg = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_pre(
             g, c, d, r, interpret=interp, gather=True))
-        attempt(f"lookup_pallas_gather_x{args.iters}", lambda: emit(
-            results, f"lookup_pallas_gather_x{args.iters}",
+        # Bind each kernel name ONCE so the attempt() error row and the
+        # emit() success row can never drift apart (ADVICE r3).
+        name = f"lookup_pallas_gather_x{args.iters}"
+        attempt(name, lambda name=name: emit(
+            results, name,
             timeit(lambda: fg(disp, gk, ck), args.reps), k2_sol,
             k2_meas, args.iters))
-        attempt(f"lookup_pallas_gather_bf16_x{args.iters}", lambda: emit(
-            results, f"lookup_pallas_gather_bf16_x{args.iters}",
+        name = f"lookup_pallas_gather_bf16_x{args.iters}"
+        attempt(name, lambda name=name: emit(
+            results, name,
             timeit(lambda: fg(disp, gk16, ck16), args.reps), k2_sol / 2,
             half(k2_meas), args.iters))
         # Fused kernel needs bf16 layouts (fp32 overflows VMEM — see kernel doc).
         ff = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_fused(
             g, c, d, r, interpret=interp))
-        attempt(f"lookup_pallas_fused_bf16_x{args.iters}", lambda: emit(
-            results, f"lookup_pallas_fused_bf16_x{args.iters}",
+        name = f"lookup_pallas_fused_bf16_x{args.iters}"
+        attempt(name, lambda name=name: emit(
+            results, name,
             timeit(lambda: ff(disp, gk16, ck16), args.reps), k2_sol / 2,
             half(k2_meas), args.iters))
     if args.impl in ("xla", "both"):

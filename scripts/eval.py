@@ -89,9 +89,11 @@ def main():
             l0, r0 = padder0.pad(left, right)
             # Jit the init: eager flax init is hundreds of tiny dispatches —
             # tens of minutes over the tunnelled TPU runtime (round-2 finding).
+            # Images are passed as jit ARGUMENTS, not closed over: XLA
+            # constant-folds closed-over arrays at compile time (ADVICE r3).
             variables = jax.jit(
-                lambda k: model.init(k, l0, r0, iters=1, test_mode=True)
-            )(jax.random.PRNGKey(0))
+                lambda k, l, r: model.init(k, l, r, iters=1, test_mode=True)
+            )(jax.random.PRNGKey(0), l0, r0)
             if args.ckpt_dir:
                 from foundationstereo_tpu.train.checkpoints import CheckpointManager
                 mgr = CheckpointManager(args.ckpt_dir)

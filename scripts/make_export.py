@@ -45,8 +45,10 @@ def main():
     import jax.numpy as jnp
     left = jnp.zeros((1, args.height, args.width, 3), jnp.float32)
     variables = jax.jit(  # jitted: eager init is minutes of tiny dispatches
-        lambda k: model.init(k, left, left, iters=1, test_mode=True)
-    )(jax.random.PRNGKey(0))
+        # images as jit args, not closures (avoid compile-time constant
+        # folding of closed-over arrays — ADVICE r3)
+        lambda k, l, r: model.init(k, l, r, iters=1, test_mode=True)
+    )(jax.random.PRNGKey(0), left, left)
     if args.ckpt_dir:
         from foundationstereo_tpu.train.checkpoints import CheckpointManager
         mgr = CheckpointManager(args.ckpt_dir)

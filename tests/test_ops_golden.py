@@ -255,3 +255,16 @@ def test_disparity_lookup_matches_reference(rng):
     corr_pyramid = pool_last_axis(jnp.asarray(corr), levels - 1)
     got = np.asarray(disparity_lookup(geo_pyramid, corr_pyramid, jnp.asarray(disp), radius))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_resize2d_bf16_policy(rng):
+    """2-byte float inputs interpolate at their own width (fp32 accumulation):
+    the result must stay close to the fp32 reference (bf16 weight rounding
+    only) and keep the input dtype — the mixed-precision fast path added in
+    round 4 (ops/resize.py _apply_axis)."""
+    x = rng.standard_normal((2, 13, 21, 8)).astype(np.float32)
+    ref = np.asarray(resize2d(jnp.asarray(x), (26, 42), "bilinear", True))
+    got = resize2d(jnp.asarray(x, jnp.bfloat16), (26, 42), "bilinear", True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref,
+                               rtol=0.03, atol=0.05)
