@@ -129,3 +129,52 @@ def test_train_cli_runs_and_resumes(train_setup):
     res2 = _run_train(tmp_path, cfg_path, steps=5, ckpt="latest")
     assert res2.returncode == 0, res2.stderr[-3000:]
     assert "resumed from step" in res2.stdout
+
+
+@pytest.mark.slow
+@pytest.mark.xdist_group("heavy_subprocess")
+def test_train_cli_mlflow_integration(train_setup, tmp_path):
+    """--mlflow 1 logs params at start and metrics per log_every through the
+    mlflow client API. The real package is not installed in this image
+    (documented deviation), so a fake module on PYTHONPATH records the calls
+    — proving the integration path the reference exercises against a live
+    server (scripts/train.py:146-154 upstream)."""
+    ws_path, cfg_path = train_setup
+    fake_dir = tmp_path / "fake_pkgs"
+    fake_dir.mkdir(exist_ok=True)
+    calls = tmp_path / "mlflow_calls.jsonl"
+    (fake_dir / "mlflow.py").write_text(f'''
+import json
+_LOG = r"{calls}"
+
+def _rec(kind, payload):
+    with open(_LOG, "a") as f:
+        f.write(json.dumps({{"kind": kind, "payload": payload}}) + "\\n")
+
+def start_run():
+    _rec("start_run", None)
+
+def log_params(params):
+    _rec("log_params", {{k: str(v) for k, v in params.items()}})
+
+def log_metrics(metrics, step=None):
+    _rec("log_metrics", {{"step": step, "n": len(metrics)}})
+''')
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = f"{fake_dir}{os.pathsep}{REPO}"
+    res = subprocess.run(
+        [sys.executable, str(REPO / "scripts/train.py"),
+         "--config", str(cfg_path), "--workspace", str(ws_path / "ws_mlflow"),
+         "--num_iterations", "2", "--batch_size", "1",
+         "--save_every", "1000", "--log_every", "1", "--checkpoint", "none",
+         "--n_devices", "1", "--mlflow", "1"],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    recorded = [json.loads(l) for l in calls.read_text().splitlines()]
+    kinds = [r["kind"] for r in recorded]
+    assert kinds[0] == "start_run"
+    params = next(r for r in recorded if r["kind"] == "log_params")
+    assert params["payload"]["model.vit_size"] == "vits"
+    metric_calls = [r for r in recorded if r["kind"] == "log_metrics"]
+    assert metric_calls and all(r["payload"]["n"] > 0 for r in metric_calls)
