@@ -47,6 +47,12 @@ class ModelConfig:
     # Sublane-gather lookup kernel: one pre-blended row set + dynamic_gather
     # per channel instead of K tent contractions over D (~5x fewer VPU ops).
     gather_lookup: bool = False
+    # Route eligible 3x3 convs through the Pallas MXU-dot kernel
+    # (ops/conv3x3.py). Measured NO BETTER than XLA's conv lowering on the
+    # v5e at refine-loop shapes (gru04 chain 10.3 vs 7.3 ms/iter; per-tap dot
+    # variants 47-59 TF/s vs XLA's 60 — docs/NOTES_ROUND4.md), so default
+    # off; kept for re-measurement on other chips/toolchains.
+    pallas_conv3x3: bool = False
     bf16_pyramids: bool = True    # bf16 geometry/corr pyramids on the Pallas
                                   # path (halves refine-loop HBM traffic;
                                   # fp32 accumulation inside the kernel)

@@ -220,6 +220,27 @@ class FoundationStereo(nn.Module):
         # Accepted here for API parity; XLA's scan-based refinement loop
         # already bounds lookup memory, so there is nothing to gate.
         del low_memory
+        from foundationstereo_tpu.models.layers import pallas_conv3x3_scope
+
+        # Route eligible 3x3 convs through the Pallas MXU-dot kernel on the
+        # same traces that use the Pallas lookup (single-chip TPU inference):
+        # XLA's conv lowering runs them at 40-60 TF/s vs ~171 TF/s for dots
+        # on this chip (scripts/bench_gru_micro.py).
+        from foundationstereo_tpu.models.layers import _PALLAS_CONV3X3
+
+        _, lookup_mode = _pallas_mode(self.cfg, train, left.shape[2] // 4)
+        # Compose with an externally-forced scope (CPU interpret-mode tests):
+        # this wrapper only ever ENABLES the kernel, never disables it.
+        # cfg.pallas_conv3x3 defaults OFF: measured no better than XLA's conv
+        # lowering on the v5e (config.py note, docs/NOTES_ROUND4.md).
+        with pallas_conv3x3_scope(
+                (lookup_mode == "pallas" and self.cfg.pallas_conv3x3)
+                or _PALLAS_CONV3X3["enabled"],
+                _PALLAS_CONV3X3["interpret"]):
+            return self._forward(left, right, iters, test_mode, init_disp,
+                                 train)
+
+    def _forward(self, left, right, iters, test_mode, init_disp, train):
         cfg = self.cfg
         dt = self.compute_dtype
         B, H, W, _ = left.shape

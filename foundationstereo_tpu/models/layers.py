@@ -28,6 +28,56 @@ Dtype = Any
 # (ADVICE r3). Opt-in: measured slower on the v5e (docs/NOTES_ROUND3.md).
 TAP_STACK_DEFAULT = os.environ.get("FSTPU_TAP_STACK") == "1"
 
+# Trace-time switch for the Pallas 3x3 conv kernel (ops/conv3x3.py). XLA's
+# conv lowering runs the refine loop's 3x3 convs at 40-60 TF/s on the v5e
+# while the same chip sustains ~171 TF/s on matmuls (bench_gru_micro) — the
+# kernel evaluates the conv as 9 VMEM-resident MXU dots per row instead.
+# Enabled by FoundationStereo around single-chip TPU inference traces only
+# (pallas_call has no autodiff or SPMD partitioning rule).
+_PALLAS_CONV3X3 = {"enabled": False, "interpret": False}
+
+
+class pallas_conv3x3_scope:
+    """Trace-time context: route eligible 3x3/s1/p1 2D convs through the
+    Pallas kernel. ``interpret=True`` is for CPU tests."""
+
+    def __init__(self, enabled: bool, interpret: bool = False):
+        self.state = {"enabled": enabled, "interpret": interpret}
+
+    def __enter__(self):
+        self.saved = dict(_PALLAS_CONV3X3)
+        _PALLAS_CONV3X3.update(self.state)
+        return self
+
+    def __exit__(self, *exc):
+        _PALLAS_CONV3X3.update(self.saved)
+        return False
+
+
+def conv2d_op(x, kernel, strides, padding, dilation=(1, 1), groups: int = 1):
+    """lax.conv_general_dilated NHWC/HWIO with the Pallas 3x3 fast path.
+
+    Eligibility: flag on, k=3x3, stride 1, padding 1, no dilation/groups, and
+    wide enough channels that the per-row (W, C) @ (C, F) dots occupy the MXU
+    (C >= 128, F >= 64 — narrower shapes measured no better than XLA's conv).
+    """
+    kh, kw, c, f = kernel.shape
+    if (_PALLAS_CONV3X3["enabled"] and (kh, kw) == (3, 3)
+            and tuple(strides) == (1, 1)
+            and tuple(padding) in (((1, 1), (1, 1)), (1, 1))
+            and tuple(dilation) == (1, 1) and groups == 1
+            and c >= 128 and f >= 64):
+        from foundationstereo_tpu.ops.conv3x3 import conv3x3_pallas
+
+        return conv3x3_pallas(x, kernel,
+                              interpret=_PALLAS_CONV3X3["interpret"])
+    pad = [tuple(p) if isinstance(p, (tuple, list)) else (p, p)
+           for p in padding]
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=tuple(strides), padding=pad,
+        rhs_dilation=tuple(dilation), feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
 
 def _ntuple(x, n):
     if isinstance(x, (tuple, list)):
@@ -162,9 +212,7 @@ class Conv(nn.Module):
             else:
                 acc = None
                 for t in range(ks[0]):
-                    y2 = jax.lax.conv_general_dilated(
-                        x2, kd3[t], window_strides=st[1:], padding=pd[1:],
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y2 = conv2d_op(x2, kd3[t], st[1:], pd[1:])
                     sl = tap_slice(y2.reshape((B, D) + y2.shape[1:]), t)
                     acc = sl if acc is None else acc + sl
             if bias is not None:
@@ -183,10 +231,8 @@ class Conv(nn.Module):
                 xd = x.astype(self.dtype)
                 kd = kernel.astype(self.dtype)
                 if fold_spatial:      # (1,kh,kw): D is a pure batch axis
-                    y = jax.lax.conv_general_dilated(
-                        xd.reshape(B * D, H, W, C), kd[0],
-                        window_strides=st[1:], padding=pd[1:],
-                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                    y = conv2d_op(xd.reshape(B * D, H, W, C), kd[0],
+                                  st[1:], pd[1:])
                     y = y.reshape((B, D) + y.shape[1:])
                 else:                 # (kd,1,1): H*W is a pure spatial-1 axis
                     # Narrow-channel disparity convs starve the 128-lane MXU
@@ -221,6 +267,20 @@ class Conv(nn.Module):
                 if bias is not None:
                     y = y + bias.astype(self.dtype)
                 return y
+
+        if (n == 2 and x.ndim == 4 and self.groups == 1 and dl == (1, 1)
+                and ks == (3, 3) and st == (1, 1) and pd == [(1, 1), (1, 1)]
+                and _PALLAS_CONV3X3["enabled"]
+                and x.shape[-1] >= 128 and self.features >= 64):
+            # Pallas 3x3 fast path — identical params/paths to the nn.Conv
+            # branch below (same "Conv_0" scope, kernel layout, inits).
+            kernel, bias = _ConvParams(ks + (x.shape[-1], self.features),
+                                       self.use_bias, name="Conv_0")()
+            y = conv2d_op(x.astype(self.dtype), kernel.astype(self.dtype),
+                          st, pd)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
 
         return nn.Conv(
             features=self.features,
@@ -333,7 +393,28 @@ class ConvTranspose(nn.Module):
             ks + (in_ch, self.features),
             jnp.float32,
         )
-        if ks == (4,) * n and st == (2,) * n and pd == (1,) * n:
+        if ks == st and pd == (0,) * n:
+            # stride == kernel (DPT resize0 k4/s4, resize1 k2/s2): each input
+            # pixel owns a disjoint k^n output block, out[s*Y+a, s*X+b] =
+            # sum_c x[Y,X,c] * W[a,b,c,f] — a pure 1x1 projection to k^n*F
+            # channels plus depth-to-space. The lhs-dilated fallback would
+            # multiply by k^n-1 interleaved zeros on the MXU (16x at k=4).
+            import math
+
+            kn = math.prod(ks)
+            kp = kernel.reshape((kn, in_ch, self.features)).astype(self.dtype)
+            y = jnp.einsum("...c,pcf->...pf", x.astype(self.dtype), kp)
+            b_dim = x.shape[0]
+            spatial = x.shape[1:-1]
+            y = y.reshape((b_dim,) + spatial + ks + (self.features,))
+            # (B, s1..sn, a1..an, F) -> (B, s1, a1, ..., sn, an, F)
+            perm = [0]
+            for i in range(n):
+                perm += [1 + i, 1 + n + i]
+            y = y.transpose(*perm, 1 + 2 * n)
+            y = y.reshape((b_dim,) + tuple(s * k for s, k in zip(spatial, ks))
+                          + (self.features,))
+        elif ks == (4,) * n and st == (2,) * n and pd == (1,) * n:
             y = deconv_k4s2p1_phases(x, kernel, self.dtype)
             y = interleave_deconv_phases(y, x.shape[1:-1], self.features)
         else:

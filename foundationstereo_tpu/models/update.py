@@ -84,10 +84,10 @@ class RaftConvGRU(nn.Module):
         kr, br = _GateParams((k, k, in_ch, d), name="convr")()
         kzr = jnp.concatenate([kz, kr], axis=-1).astype(self.dtype)
         bzr = jnp.concatenate([bz, br]).astype(self.dtype)
-        zr = jax.lax.conv_general_dilated(
-            hx.astype(self.dtype), kzr, window_strides=(1, 1),
-            padding=[(p, p), (p, p)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bzr
+        from foundationstereo_tpu.models.layers import conv2d_op
+
+        zr = conv2d_op(hx.astype(self.dtype), kzr, (1, 1),
+                       [(p, p), (p, p)]) + bzr
         z = nn.sigmoid(zr[..., :d])
         r = nn.sigmoid(zr[..., d:])
         q = jnp.tanh(Conv(d, k, 1, p, dtype=self.dtype, name="convq")(

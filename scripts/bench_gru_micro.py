@@ -133,6 +133,75 @@ def main():
             + 2 * H4 * W4 * (512 * 256 + 512 * 128)
         bench("gru04 chain", chain, (h0, xs0, kv), flops=fl)
 
+    if "gruchain_pallas" in parts:
+        # Same chain with the 3x3 convs routed through the Pallas kernel.
+        from foundationstereo_tpu.models.layers import pallas_conv3x3_scope
+        from foundationstereo_tpu.ops.conv3x3 import conv3x3_pallas
+        import numpy as np
+        import flax.linen as nn
+        rng = np.random.default_rng(0)
+        dt = jnp.bfloat16
+        xs0 = jnp.asarray(rng.standard_normal((1, H4, W4, 384)), dt)
+        h0 = jnp.asarray(rng.standard_normal((1, H4, W4, 128)), dt)
+        ks = {
+            "k0": (3, 3, 384, 384), "k1": (3, 3, 512, 512),
+            "kzr3": (3, 3, 512, 256), "kq3": (3, 3, 512, 128),
+            "kzr1": (1, 1, 512, 256), "kq1": (1, 1, 512, 128),
+        }
+        kv = {n: jnp.asarray(rng.standard_normal(s) * 0.02, dt)
+              for n, s in ks.items()}
+
+        def pconv(x, k):
+            return conv3x3_pallas(x, k)
+
+        def one_iter(h, xs, kv):
+            x = nn.relu(pconv(xs, kv["k0"]))
+            hx = jnp.concatenate([x, h], axis=-1)
+            hx = nn.relu(pconv(hx, kv["k1"]))
+            outs = []
+            for kzr, kq, p in ((kv["kzr1"], kv["kq1"], 0),
+                               (kv["kzr3"], kv["kq3"], 1)):
+                if p:
+                    zr = pconv(hx, kzr)
+                else:
+                    zr = jax.lax.conv_general_dilated(
+                        hx, kzr, window_strides=(1, 1), padding=[(0, 0)] * 2,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                z, r = nn.sigmoid(zr[..., :128]), nn.sigmoid(zr[..., 128:])
+                qin = jnp.concatenate([r * h, x], axis=-1)
+                if p:
+                    q = jnp.tanh(pconv(qin, kq))
+                else:
+                    q = jnp.tanh(jax.lax.conv_general_dilated(
+                        qin, kq, window_strides=(1, 1), padding=[(0, 0)] * 2,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC")))
+                outs.append((1 - z) * h + z * q)
+            return 0.5 * outs[0] + 0.5 * outs[1]
+
+        def chain(h, xs, kv):
+            for _ in range(args.chain):
+                h = one_iter(h, xs, kv)
+            return h
+
+        fl = 2 * H4 * W4 * 9 * (384 * 384 + 512 * 512 + 512 * 256 + 512 * 128) \
+            + 2 * H4 * W4 * (512 * 256 + 512 * 128)
+        bench("gru04 chain pallas", chain, (h0, xs0, kv), flops=fl)
+
+    if "pallas_conv" in parts:
+        from foundationstereo_tpu.ops.conv3x3 import conv3x3_pallas
+
+        for c in (512, 384, 256, 128):
+            x = jax.random.normal(key, (1, H4, W4, c), jnp.bfloat16)
+            k = jax.random.normal(key, (3, 3, c, c), jnp.bfloat16) * 0.02
+
+            def chain(x, k):
+                for _ in range(args.chain):
+                    x = conv3x3_pallas(x, k)
+                return x
+
+            fl = 2 * H4 * W4 * c * c * 9
+            bench(f"pallas_conv {c}x{c}", chain, (x, k), flops=fl)
+
     if "dpt" in parts:
         from foundationstereo_tpu.config import VIT_CONFIGS
         from foundationstereo_tpu.models.dpt import DPTHead
@@ -143,7 +212,7 @@ def main():
                        out_hw=(184, 320), dtype=jnp.bfloat16)
         taps = [jax.random.normal(key, (2, hp * wp, cfg["embed_dim"]),
                                   jnp.bfloat16) for _ in range(4)]
-        v = jax.jit(head.init)(key, taps, hp, wp)
+        v = jax.jit(lambda k, t: head.init(k, t, hp, wp))(key, taps)
         float(jnp.sum(jax.tree.leaves(v["params"])[0]))
         old_chain = args.chain
         args.chain = 1

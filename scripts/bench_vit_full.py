@@ -87,7 +87,14 @@ def main():
             return v
 
         vv = init_once()
-        bench(f"vit_{impl} 24blk", lambda v_, x_: vit.apply(v_, x_, cfg["intermediate_layers"])[0][0], vv, x)
+        # Sum ALL intermediate taps inside the jit: returning only the first
+        # tap lets XLA dead-code-eliminate every block after it (vitl: blocks
+        # 5-23!). The round-2 "71 ms full ViT-L" number had this bug — it
+        # timed 5 of 24 blocks (docs/NOTES_ROUND4.md).
+        bench(f"vit_{impl} {cfg['depth']}blk",
+              lambda v_, x_: sum(jnp.sum(t) for (t, _c) in
+                                 vit.apply(v_, x_, cfg["intermediate_layers"])),
+              vv, x)
 
     if "dpt" in parts:
         head = DPTHead(cfg["dpt_features"], cfg["dpt_out_channels"], dtype=jnp.bfloat16)
