@@ -144,6 +144,7 @@ def main():
         for step in range(initial_step, args.num_iterations):
             if prof_range and step == prof_range[0]:
                 jax.profiler.start_trace(str(workspace / "profile"))
+            t0 = time.perf_counter()
             if args.gradient_accumulation_steps > 1:
                 micros = [batch]
                 for _ in range(args.gradient_accumulation_steps - 1):
@@ -154,9 +155,23 @@ def main():
                 state, metrics = trainer.train_step_accum(state, stacked)
             else:
                 state, metrics = trainer.train_step(state, batch)
+            t_dispatch = time.perf_counter() - t0
             last_batch = batch
+            t0 = time.perf_counter()
             batch = to_device_batch(data_pipe.get())
-            records.append({k: float(v) for k, v in metrics.items()})
+            t_data = time.perf_counter() - t0
+            # ONE batched device fetch (async-copy all leaves, then gather):
+            # a float() per metric is a separate round-trip each — ~15 of
+            # them per step cost several hundred ms over the tunnelled
+            # runtime (round-4 finding: device step 0.818 s vs CLI 1.37 s).
+            t0 = time.perf_counter()
+            host_metrics = jax.device_get(metrics)
+            t_fence = time.perf_counter() - t0
+            rec = {k: float(v) for k, v in host_metrics.items()}
+            rec["t_dispatch"] = t_dispatch
+            rec["t_data"] = t_data
+            rec["t_fence"] = t_fence
+            records.append(rec)
             if prof_range and step == prof_range[1]:
                 jax.profiler.stop_trace()
                 print(f"profile trace written to {workspace / 'profile'}", flush=True)
