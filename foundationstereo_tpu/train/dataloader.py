@@ -293,8 +293,12 @@ class StereoTrainDataLoaderPipeline:
                 "disparity_mask": np.zeros((h, w), bool),
             })
             return instance
-        left = instance["left_image"].astype(np.float64)
-        right = instance["right_image"].astype(np.float64)
+        # Aug math in float32: the reference's augmentation semantics are
+        # statistical (random jitter), and float64 doubled every pass over
+        # the images — t_data was the train-step bottleneck (round-4 phase
+        # split, docs/NOTES_ROUND4.md).
+        left = instance["left_image"].astype(np.float32)
+        right = instance["right_image"].astype(np.float32)
         disparity = instance["disparity"]
         mask = instance["disparity_mask"]
         raw_h, raw_w = left.shape[:2]
@@ -308,8 +312,8 @@ class StereoTrainDataLoaderPipeline:
         cap_h = ((tgt_h + 15) // 16) * 16
         cap_w = ((tgt_w + 15) // 16) * 16
         rh, rw = get_resize_keep_aspect_ratio(raw_h, raw_w, max_H=cap_h, max_W=cap_w)
-        left = _resize(left, (rw, rh)).astype(np.float64)
-        right = _resize(right, (rw, rh)).astype(np.float64)
+        left = _resize(left, (rw, rh)).astype(np.float32)
+        right = _resize(right, (rw, rh)).astype(np.float32)
         ratio = rw / raw_w
         disparity = _resize(disparity, (rw, rh), nearest=True) * ratio
         mask = _resize(mask.astype(np.uint8), (rw, rh), nearest=True) > 0
@@ -371,7 +375,7 @@ class StereoTrainDataLoaderPipeline:
                 angle = rng.uniform(-0.5, 0.5)
                 if native.available():
                     right = native.warp_affine_reflect(
-                        right.astype(np.float32), tx, ty, angle).astype(np.float64)
+                        right.astype(np.float32), tx, ty, angle)
                 else:
                     right = warp_affine_reflect(right, tx, ty, angle)
 
@@ -380,8 +384,8 @@ class StereoTrainDataLoaderPipeline:
             factor = rng.uniform(2.02, 2.04)
             h, w = left.shape[:2]
             nw = int(w * factor)
-            left = _resize(left, (nw, h)).astype(np.float64)
-            right = _resize(right, (nw, h)).astype(np.float64)
+            left = _resize(left, (nw, h)).astype(np.float32)
+            right = _resize(right, (nw, h)).astype(np.float32)
             disparity = _resize(disparity, (nw, h), nearest=True) * factor
             mask = _resize(mask.astype(np.uint8), (nw, h), nearest=True).astype(bool)
             sx = (nw - w) // 2

@@ -102,19 +102,24 @@ def main():
 
     def to_device_batch(raw):
         from foundationstereo_tpu.ops.pad import InputPadder
-        import jax.numpy as jnp
-        left = raw["left_image"] * 255.0      # model expects 0-255
-        right = raw["right_image"] * 255.0
+        left = (raw["left_image"] * np.float32(255.0)).astype(np.float32)
+        right = (raw["right_image"] * np.float32(255.0)).astype(np.float32)
         padder = InputPadder(left.shape, divis_by=32)
-        left, right = padder.pad(jnp.asarray(left), jnp.asarray(right))
+        # Pad on the HOST: routing through jnp here moved each batch across
+        # the tunnel three times (pad on device, np.asarray pull-back,
+        # place_batch re-upload) — a blocking round-trip pair inside t_data
+        # (round-4 phase split: t_data 2.4 s/step vs 1.9 s device step).
+        l, r_, t, b = padder._pad
+        pw = ((0, 0), (t, b), (l, r_), (0, 0))
+        left = np.pad(left, pw, mode="edge")
+        right = np.pad(right, pw, mode="edge")
         h, w = left.shape[1], left.shape[2]
         gt = np.zeros((left.shape[0], h, w), np.float32)
         m = np.zeros((left.shape[0], h, w), bool)
-        l, r_, t, b = padder._pad
         gt[:, t:t + raw["disparity"].shape[1], l:l + raw["disparity"].shape[2]] = raw["disparity"]
         m[:, t:t + raw["disparity"].shape[1], l:l + raw["disparity"].shape[2]] = raw["disparity_mask"]
         batch = {
-            "left": np.asarray(left), "right": np.asarray(right),
+            "left": left, "right": right,
             "disparity": gt, "mask": m,
             "label_idx": make_label_index(raw["label_type"], config["loss"]),
             "rng": np.random.randint(0, 2 ** 31, size=2).astype(np.uint32),
@@ -158,7 +163,10 @@ def main():
             t_dispatch = time.perf_counter() - t0
             last_batch = batch
             t0 = time.perf_counter()
-            batch = to_device_batch(data_pipe.get())
+            raw = data_pipe.get()
+            t_get = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            batch = to_device_batch(raw)
             t_data = time.perf_counter() - t0
             # ONE batched device fetch (async-copy all leaves, then gather):
             # a float() per metric is a separate round-trip each — ~15 of
@@ -169,6 +177,7 @@ def main():
             t_fence = time.perf_counter() - t0
             rec = {k: float(v) for k, v in host_metrics.items()}
             rec["t_dispatch"] = t_dispatch
+            rec["t_get"] = t_get
             rec["t_data"] = t_data
             rec["t_fence"] = t_fence
             records.append(rec)
