@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--vit_size", default="vitl")
     ap.add_argument("--max_disp", type=int, default=416)
+    ap.add_argument("--step", default="latest",
+                    help="checkpoint step to evaluate (default latest)")
     ap.add_argument("--ema", type=int, default=0,
                     help="evaluate the checkpoint's EMA weights")
     ap.add_argument("--out", default=None, help="write per-frame metrics JSONL")
@@ -97,8 +99,10 @@ def main():
             if args.ckpt_dir:
                 from foundationstereo_tpu.train.checkpoints import CheckpointManager
                 mgr = CheckpointManager(args.ckpt_dir)
+                want = (args.step if args.step == "latest"
+                        else int(args.step))
                 variables, step = mgr.restore_inference(
-                    "latest", use_ema=bool(args.ema))
+                    want, use_ema=bool(args.ema))
                 print(f"restored step {step}"
                       f"{' (EMA weights)' if args.ema else ''}", file=sys.stderr)
 
