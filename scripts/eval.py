@@ -135,6 +135,7 @@ def main():
     agg["dataset"] = args.dataset
     print(json.dumps(agg))
     if out_f:
+        out_f.write(json.dumps(agg) + "\n")
         out_f.close()
 
 

@@ -82,3 +82,45 @@ def test_metrics_pack(rng):
 
     perfect = stereo_eval_metrics(gt, gt, mask)
     assert perfect["epe"] == 0 and perfect["bad1"] == 0
+
+
+@pytest.mark.slow
+@pytest.mark.xdist_group("heavy_subprocess")
+def test_eval_cli_end_to_end(tmp_path, rng):
+    """scripts/eval.py runs the full surface: FSD reader -> padded forward ->
+    metric pack -> per-frame + summary JSONL (the on-chip r3/r4 eval runs use
+    exactly this path; this pins it on CPU at tiny shapes)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = tmp_path / "fsd"
+    for sub in ("left/rgb", "right/rgb", "left/disparity"):
+        (root / sub).mkdir(parents=True)
+    for i in range(2):
+        img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+        Image.fromarray(img).save(root / "left/rgb" / f"{i}.jpg")
+        Image.fromarray(np.roll(img, -2, 1)).save(root / "right/rgb" / f"{i}.jpg")
+        disp = rng.uniform(1, 20, (64, 96)).astype(np.float32)
+        Image.fromarray(depth_uint8_encoding(disp)).save(
+            root / "left/disparity" / f"{i}.png")
+
+    repo = Path(__file__).resolve().parent.parent
+    out = tmp_path / "metrics.jsonl"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(repo)
+    res = subprocess.run(
+        [sys.executable, str(repo / "scripts/eval.py"), "--dataset", "fsd",
+         "--root", str(root), "--vit_size", "vits", "--max_disp", "64",
+         "--valid_iters", "2", "--out", str(out)],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    frames = [r for r in rows if "name" in r]
+    summary = [r for r in rows if "frames" in r]
+    assert len(frames) == 2 and len(summary) == 1
+    assert all(np.isfinite(r["epe"]) for r in frames)
+    assert summary[0]["frames"] == 2
