@@ -148,13 +148,15 @@ def main(argv=None):
         )(jax.random.PRNGKey(0), l0, r0)
         logging.info("no --ckpt_dir given: using randomly initialized weights")
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _fwd(l, r, iters, init_disp):
-        return model.apply(variables, l, r, iters=iters, test_mode=True,
+    # `variables` is a jit ARGUMENT, not a closure: closed-over trees bake
+    # into the executable as compile-time constants (ADVICE r3 pattern).
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def _fwd(v, l, r, iters, init_disp):
+        return model.apply(v, l, r, iters=iters, test_mode=True,
                            init_disp=init_disp)
 
     def apply_fn(l, r, iters=args.valid_iters, init_disp=None):
-        return _fwd(l, r, iters, init_disp)
+        return _fwd(variables, l, r, iters, init_disp)
 
     if not args.hiera:
         padder = InputPadder(left.shape, divis_by=32)

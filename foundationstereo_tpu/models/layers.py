@@ -54,19 +54,24 @@ class pallas_conv3x3_scope:
         return False
 
 
-def conv2d_op(x, kernel, strides, padding, dilation=(1, 1), groups: int = 1):
-    """lax.conv_general_dilated NHWC/HWIO with the Pallas 3x3 fast path.
+def _pallas3x3_eligible(ks, st, pd, dl, groups: int, c: int, f: int) -> bool:
+    """Single source of truth for the Pallas 3x3 conv fast path: flag on,
+    k=3x3, stride 1, padding 1, no dilation/groups, and wide enough channels
+    that the per-row (W, C) @ (C, F) dots occupy the MXU (C >= 128, F >= 64 —
+    narrower shapes measured no better than XLA's conv)."""
+    pd = tuple(tuple(p) if isinstance(p, (tuple, list)) else (p, p)
+               for p in pd)
+    return (_PALLAS_CONV3X3["enabled"] and tuple(ks) == (3, 3)
+            and tuple(st) == (1, 1) and pd == ((1, 1), (1, 1))
+            and tuple(dl) == (1, 1) and groups == 1
+            and c >= 128 and f >= 64)
 
-    Eligibility: flag on, k=3x3, stride 1, padding 1, no dilation/groups, and
-    wide enough channels that the per-row (W, C) @ (C, F) dots occupy the MXU
-    (C >= 128, F >= 64 — narrower shapes measured no better than XLA's conv).
-    """
+
+def conv2d_op(x, kernel, strides, padding, dilation=(1, 1), groups: int = 1):
+    """lax.conv_general_dilated NHWC/HWIO with the Pallas 3x3 fast path
+    (see :func:`_pallas3x3_eligible`)."""
     kh, kw, c, f = kernel.shape
-    if (_PALLAS_CONV3X3["enabled"] and (kh, kw) == (3, 3)
-            and tuple(strides) == (1, 1)
-            and tuple(padding) in (((1, 1), (1, 1)), (1, 1))
-            and tuple(dilation) == (1, 1) and groups == 1
-            and c >= 128 and f >= 64):
+    if _pallas3x3_eligible((kh, kw), strides, padding, dilation, groups, c, f):
         from foundationstereo_tpu.ops.conv3x3 import conv3x3_pallas
 
         return conv3x3_pallas(x, kernel,
@@ -268,10 +273,8 @@ class Conv(nn.Module):
                     y = y + bias.astype(self.dtype)
                 return y
 
-        if (n == 2 and x.ndim == 4 and self.groups == 1 and dl == (1, 1)
-                and ks == (3, 3) and st == (1, 1) and pd == [(1, 1), (1, 1)]
-                and _PALLAS_CONV3X3["enabled"]
-                and x.shape[-1] >= 128 and self.features >= 64):
+        if (n == 2 and x.ndim == 4 and _pallas3x3_eligible(
+                ks, st, pd, dl, self.groups, x.shape[-1], self.features)):
             # Pallas 3x3 fast path — identical params/paths to the nn.Conv
             # branch below (same "Conv_0" scope, kernel layout, inits).
             kernel, bias = _ConvParams(ks + (x.shape[-1], self.features),

@@ -67,22 +67,6 @@ def _rows_kernel(x_hbm, k_ref, o_ref, scratch, sem, *, rb: int, w_out: int):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
-def _row_kernel(x0_ref, x1_ref, x2_ref, k_ref, o_ref, *, w_out: int):
-    """x{0,1,2}: (1, 1, W+2, C) rows y-1, y, y+1 (pre-padded); k: (3, 3, C, F);
-    o: (1, 1, W, F)."""
-    acc = None
-    for dy, xr in enumerate((x0_ref, x1_ref, x2_ref)):
-        row = xr[0, 0]                                 # (W+2, C)
-        for dx in range(3):
-            tap = row[dx:dx + w_out, :]                # (W, C) static slice
-            d = jax.lax.dot_general(
-                tap, k_ref[dy, dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
-    o_ref[0, 0] = acc.astype(o_ref.dtype)
-
-
 def _pick_row_block(w: int, wp2: int, c: int, f: int, bx: int, bo: int,
                     budget: float = 12e6) -> int:
     """Largest row block whose per-step VMEM footprint fits the budget:

@@ -377,7 +377,10 @@ class StereoTrainDataLoaderPipeline:
                     right = native.warp_affine_reflect(
                         right.astype(np.float32), tx, ty, angle)
                 else:
-                    right = warp_affine_reflect(right, tx, ty, angle)
+                    # numpy fallback builds float64 meshgrids — keep the
+                    # pipeline float32 (native path already is).
+                    right = warp_affine_reflect(right, tx, ty, angle).astype(
+                        np.float32)
 
         # 5. disparity stretching
         if "disparity_stretching" in aug and rng.choice([True, False], p=[0.5, 0.5]):

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--iters", type=int, default=22)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--ema", type=int, default=1)
+    ap.add_argument("--mode", default="train", choices=("train", "eval"),
+                    help="train = full step; eval = test-mode forward only "
+                         "(same shapes/iters) — the difference isolates "
+                         "backward+update cost")
     args = ap.parse_args()
 
     import jax
@@ -81,21 +85,27 @@ def main():
     float(jnp.sum(jax.tree.leaves(state.params)[0]))
     print(f"init: {time.time() - t0:.1f}s", flush=True)
 
-    def step_once(state):
-        new_state, metrics = trainer.train_step(state, batch)
-        loss = float(metrics["loss"])   # fences the dispatch
-        return new_state, loss
+    metric_name = "epe" if args.mode == "eval" else "loss"
+    if args.mode == "eval":
+        def step_once(state):
+            disp, metrics = trainer.eval_step(state, batch)
+            return state, float(jnp.mean(metrics["epe"]))  # (B,) per-sample
+    else:
+        def step_once(state):
+            new_state, metrics = trainer.train_step(state, batch)
+            loss = float(metrics["loss"])   # fences the dispatch
+            return new_state, loss
 
     t0 = time.time()
-    state, loss = step_once(state)
-    print(f"compile+step0: {time.time() - t0:.1f}s loss={loss:.4f}", flush=True)
+    state, val = step_once(state)
+    print(f"compile+step0: {time.time() - t0:.1f}s {metric_name}={val:.4f}", flush=True)
 
     times = []
     for i in range(args.reps):
         t0 = time.perf_counter()
-        state, loss = step_once(state)
+        state, val = step_once(state)
         times.append(time.perf_counter() - t0)
-        print(f"step{i+1}: {times[-1]:.3f}s loss={loss:.4f}", flush=True)
+        print(f"step{i+1}: {times[-1]:.3f}s {metric_name}={val:.4f}", flush=True)
     best = min(times)
     print(f"best device step: {best:.3f}s = {1.0 / best:.3f} it/s "
           f"({b / best:.3f} samples/s)", flush=True)

@@ -65,13 +65,15 @@ def main():
 
     variables = None
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _fwd(l, r, iters, init_disp):
-        return model.apply(variables, l, r, iters=iters, test_mode=True,
+    # `variables` is a jit ARGUMENT, not a closure: closed-over trees bake
+    # into the executable as compile-time constants (ADVICE r3 pattern).
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def _fwd(v, l, r, iters, init_disp):
+        return model.apply(v, l, r, iters=iters, test_mode=True,
                            init_disp=init_disp)
 
     def apply_fn(l, r, iters, init_disp=None):
-        return _fwd(l, r, iters, init_disp)
+        return _fwd(variables, l, r, iters, init_disp)
 
     rows = []
     out_f = open(args.out, "w") if args.out else None

@@ -8,32 +8,7 @@ cd /root/repo
 unset JAX_COMPILATION_CACHE_DIR
 echo "=== driver6 start $(date)" >> "$LOG"
 
-alive() {
-  timeout 90 python -c "
-import jax, jax.numpy as jnp
-print('ALIVE', float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))" 2>/dev/null | grep -q ALIVE
-}
-
-wait_alive() {
-  for i in $(seq 1 45); do
-    if alive; then echo "[driver] alive after $i probes $(date +%T)" >> "$LOG"; return 0; fi
-    sleep 60
-  done
-  echo "[driver] never recovered" >> "$LOG"; return 1
-}
-
-run_step() {
-  local name="$1"; local tmo="$2"; shift 2
-  for attempt in 1 2; do
-    wait_alive || return 1
-    echo "--- $name attempt$attempt ($(date +%T))" >> "$LOG"
-    timeout "$tmo" "$@" >> "$LOG" 2>&1
-    local rc=$?
-    echo "--- $name attempt$attempt exit=$rc ($(date +%T))" >> "$LOG"
-    [ $rc -eq 0 ] && return 0
-  done
-  return 1
-}
+. "$(dirname "$0")/tpu_probe_lib.sh"
 
 # Data (host-only; no chip needed)
 JAX_PLATFORMS=cpu python scripts/make_synth_data.py --out /tmp/fsd_train --n 48 \
