@@ -34,6 +34,11 @@ class InputPadder:
         """Horizontal left pad — needed to offset disparity in hierarchical mode."""
         return self._pad[0]
 
+    @property
+    def pads(self):
+        """(left, right, top, bottom) pad amounts."""
+        return tuple(self._pad)
+
     def padded_shape(self):
         l, r, t, b = self._pad
         return self.ht + t + b, self.wd + l + r
@@ -44,6 +49,19 @@ class InputPadder:
         for x in inputs:
             assert x.ndim == 4, "expected NHWC"
             out.append(jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge"))
+        return out if len(out) > 1 else out[0]
+
+    def pad_np(self, *inputs):
+        """Host-side (numpy) twin of :meth:`pad` — identical placement and
+        edge mode, so the training host pad can never diverge from the
+        device/inference pad path."""
+        import numpy as np
+
+        l, r, t, b = self._pad
+        out = []
+        for x in inputs:
+            assert x.ndim == 4, "expected NHWC"
+            out.append(np.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge"))
         return out if len(out) > 1 else out[0]
 
     def unpad(self, x):

@@ -129,7 +129,9 @@ def main():
         rows.append(m)
         print(json.dumps(m), file=sys.stderr)
         if out_f:
-            out_f.write(json.dumps(m) + "\n")
+            # Rows in the JSONL are explicitly discriminated (ADVICE r4):
+            # per-frame rows carry type=frame, the final aggregate type=summary.
+            out_f.write(json.dumps({"type": "frame", **m}) + "\n")
 
     agg = {k: float(np.nanmean([r[k] for r in rows]))
            for k in ("epe", "bad05", "bad1", "bad2", "bad3", "d1_all", "rmse", "time_s")}
@@ -137,7 +139,7 @@ def main():
     agg["dataset"] = args.dataset
     print(json.dumps(agg))
     if out_f:
-        out_f.write(json.dumps(agg) + "\n")
+        out_f.write(json.dumps({"type": "summary", **agg}) + "\n")
         out_f.close()
 
 

@@ -109,10 +109,8 @@ def main():
         # the tunnel three times (pad on device, np.asarray pull-back,
         # place_batch re-upload) — a blocking round-trip pair inside t_data
         # (round-4 phase split: t_data 2.4 s/step vs 1.9 s device step).
-        l, r_, t, b = padder._pad
-        pw = ((0, 0), (t, b), (l, r_), (0, 0))
-        left = np.pad(left, pw, mode="edge")
-        right = np.pad(right, pw, mode="edge")
+        l, r_, t, b = padder.pads
+        left, right = padder.pad_np(left, right)
         h, w = left.shape[1], left.shape[2]
         gt = np.zeros((left.shape[0], h, w), np.float32)
         m = np.zeros((left.shape[0], h, w), bool)

@@ -119,8 +119,8 @@ def test_eval_cli_end_to_end(tmp_path, rng):
         capture_output=True, text=True, timeout=1200, env=env)
     assert res.returncode == 0, res.stderr[-3000:]
     rows = [json.loads(l) for l in out.read_text().splitlines()]
-    frames = [r for r in rows if "name" in r]
-    summary = [r for r in rows if "frames" in r]
+    frames = [r for r in rows if r["type"] == "frame"]
+    summary = [r for r in rows if r["type"] == "summary"]
     assert len(frames) == 2 and len(summary) == 1
     assert all(np.isfinite(r["epe"]) for r in frames)
     assert summary[0]["frames"] == 2
