@@ -103,30 +103,60 @@ def flash_vit_attention(q, k, v, scale: float, block: int = 512):
     return out.transpose(0, 2, 1, 3)[:, :N]  # (B, N, H, D)
 
 
-_VIT_ATTENTION_IMPLS = ("auto", "dense", "chunked", "flash")
+def flash_vit_attention_sharded(q, k, v, scale: float, mesh,
+                                attn_fn=flash_vit_attention):
+    """Keep the flash kernel active under a multi-device mesh.
+
+    pallas_call has no GSPMD partitioning rule, so inside a plain jit the
+    partitioner would replicate it; ViT self-attention is embarrassingly
+    parallel over (batch, heads), so a shard_map over the mesh — batch on
+    'data', heads on 'spatial' (when divisible) — runs the unmodified kernel
+    per shard with ZERO collectives. Axes that don't divide stay replicated
+    (still correct; shard_map then recomputes redundantly on that axis).
+
+    ``attn_fn`` is injectable so the wrapper's sharding logic is testable on
+    a CPU mesh with the dense/chunked implementations (the TPU flash kernel
+    has no CPU interpret path here).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B, N, H, D = q.shape
+    db = ("data" if "data" in mesh.axis_names and mesh.shape["data"] > 1
+          and B % mesh.shape["data"] == 0 else None)
+    hs = ("spatial" if "spatial" in mesh.axis_names
+          and mesh.shape["spatial"] > 1
+          and H % mesh.shape["spatial"] == 0 else None)
+    spec = P(db, None, hs, None)
+    f = jax.shard_map(lambda a, b_, c: attn_fn(a, b_, c, scale),
+                      mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=spec, check_vma=False)
+    return f(q, k, v)
+
+
+_VIT_ATTENTION_IMPLS = ("auto", "dense", "chunked", "flash", "flash_sharded")
 
 
 def resolve_vit_attention(impl: str) -> str:
     """Resolve the "auto" attention choice at trace time: the Pallas flash
-    kernel on TPU, the dense einsum elsewhere (CPU tests, tiny inputs).
+    kernel on TPU (shard_map'd over batch/heads under a multi-device mesh),
+    the dense einsum elsewhere (CPU tests, tiny inputs).
 
     Unknown values raise (a typo would otherwise silently take the dense
-    O(N^2) path). Under a multi-device mesh "auto" falls back to dense:
-    pallas_call has no SPMD partitioning rule, so GSPMD would either fail to
-    partition it or replicate with all-gathers — the dense einsum partitions
-    cleanly over batch/heads. (An explicit "flash" is honored as requested.)
+    O(N^2) path).
     """
     if impl not in _VIT_ATTENTION_IMPLS:
         raise ValueError(
             f"vit_attention={impl!r} not in {_VIT_ATTENTION_IMPLS}")
     if impl != "auto":
         return impl
+    if jax.default_backend() != "tpu":
+        return "dense"
     from foundationstereo_tpu.parallel.mesh import current_mesh
 
     mesh = current_mesh()
     if mesh is not None and mesh.size > 1:
-        return "dense"
-    return "flash" if jax.default_backend() == "tpu" else "dense"
+        return "flash_sharded"
+    return "flash"
 
 
 class ViTAttention(nn.Module):
@@ -151,7 +181,12 @@ class ViTAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = 1.0 / np.sqrt(hd)
         impl = resolve_vit_attention(self.attention) if N > 1024 else "dense"
-        if impl == "flash":
+        if impl == "flash_sharded":
+            from foundationstereo_tpu.parallel.mesh import current_mesh
+
+            out = flash_vit_attention_sharded(
+                q, k, v, scale, current_mesh()).astype(v.dtype).reshape(B, N, C)
+        elif impl == "flash":
             out = flash_vit_attention(q, k, v, scale).astype(v.dtype).reshape(B, N, C)
         elif impl == "chunked":
             out = chunked_attention(q, k, v, scale).astype(v.dtype).reshape(B, N, C)

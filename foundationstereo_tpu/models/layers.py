@@ -39,7 +39,17 @@ _PALLAS_CONV3X3 = {"enabled": False, "interpret": False}
 
 class pallas_conv3x3_scope:
     """Trace-time context: route eligible 3x3/s1/p1 2D convs through the
-    Pallas kernel. ``interpret=True`` is for CPU tests."""
+    Pallas kernel. ``interpret=True`` is for CPU tests.
+
+    Retrace caveat (ADVICE r4): the flag is process-global TRACE-TIME state
+    and is NOT part of any ``jax.jit`` cache key. A function first traced
+    inside this scope bakes the Pallas routing into its compiled executable
+    and keeps it on later calls outside the scope (and vice versa); it is
+    also not thread-safe. ``FoundationStereo.__call__`` enters the scope
+    inside its own trace so the model path is always consistent, but direct
+    ``jit(conv2d_op)``-style users must either trace under the scope they
+    want permanently, or pass routing explicitly. Not thread-safe: do not
+    toggle concurrently from multiple tracing threads."""
 
     def __init__(self, enabled: bool, interpret: bool = False):
         self.state = {"enabled": enabled, "interpret": interpret}
@@ -349,6 +359,8 @@ def interleave_deconv_phases(y, spatial, features: int):
     """Assemble :func:`deconv_k4s2p1_phases` output into (B, *2*spatial, F)."""
     import itertools
 
+    from foundationstereo_tpu.parallel.sharding import shard_spatial
+
     n = len(spatial)
     phases = list(itertools.product((0, 1), repeat=n))
     parts = []
@@ -363,7 +375,15 @@ def interleave_deconv_phases(y, spatial, features: int):
     for i in range(n):
         perm += [1 + i, 1 + n + i]
     stk = stk.transpose(*perm, 1 + 2 * n)
-    return stk.reshape((b,) + tuple(2 * s for s in spatial) + (features,))
+    # Pin the phase-expanded intermediate's width sharding (s_w axis, with its
+    # phase axis replicated). Without the pin, GSPMD derives conflicting
+    # shardings for the (s_w, 2) split/merge pair around this transpose and
+    # falls back to an involuntary full rematerialization (replication) of
+    # the tensor — observed at feature/deconv32_16 in the r4 dryrun tail
+    # (spmd_partitioner.cc:652, sharding flip [1,1,4,1,1,1]<->[1,1,2,1,2,1]).
+    stk = shard_spatial(stk, w_axis=2 * n - 1)
+    out = stk.reshape((b,) + tuple(2 * s for s in spatial) + (features,))
+    return shard_spatial(out, w_axis=n)
 
 
 class ConvTranspose(nn.Module):
