@@ -27,31 +27,90 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from foundationstereo_tpu.utils.misc import depth_uint8_encoding  # noqa: E402
 
 
-def make_pair(rng, h, w, max_disp):
-    # Textured left image: low-frequency blobs + per-pixel noise.
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+def _texture(rng, h, w, yy, xx):
+    """Left-image texture: mixed families so matching can't key on one cue."""
     img = np.zeros((h, w, 3), np.float32)
-    for _ in range(12):
+    # Gaussian blobs with per-blob color.
+    for _ in range(rng.integers(6, 16)):
         cy, cx = rng.uniform(0, h), rng.uniform(0, w)
-        s = rng.uniform(h / 12, h / 3)
+        s = rng.uniform(h / 16, h / 3)
         blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
-        img += blob[..., None] * rng.uniform(40, 160, 3)
-    img += rng.normal(0, 12, (h, w, 3))
+        img += blob[..., None] * rng.uniform(20, 140, 3)
+    # Sinusoidal gratings at random orientation/frequency.
+    for _ in range(rng.integers(1, 4)):
+        th = rng.uniform(0, np.pi)
+        fr = rng.uniform(2, 40) * 2 * np.pi / w
+        ph = rng.uniform(0, 2 * np.pi)
+        wave = np.sin((np.cos(th) * xx + np.sin(th) * yy) * fr + ph)
+        img += wave[..., None] * rng.uniform(5, 35, 3)
+    # Piecewise-constant rectangles (sharp luminance edges).
+    for _ in range(rng.integers(2, 8)):
+        y0, x0 = rng.integers(0, h), rng.integers(0, w)
+        hh = int(rng.uniform(h / 16, h / 3))
+        ww = int(rng.uniform(w / 16, w / 3))
+        img[y0:y0 + hh, x0:x0 + ww] += rng.uniform(-50, 50, 3)
+    img += rng.normal(0, rng.uniform(4, 20), (h, w, 3))
     img += (xx / w * rng.uniform(-40, 40))[..., None]
-    img = np.clip(img, 0, 255)
+    img += (yy / h * rng.uniform(-40, 40))[..., None]
+    img += rng.uniform(40, 140, 3)
+    return np.clip(img, 0, 255)
 
-    # Smooth disparity field: plane + blobs, positive, < max_disp.
-    disp = rng.uniform(4, max_disp * 0.3) + (1 - yy / h) * rng.uniform(0, max_disp * 0.3)
-    for _ in range(4):
+
+def _disparity(rng, h, w, yy, xx, max_disp):
+    """Disparity: slanted base plane + smooth blobs + hard step regions
+    (rectangles/ellipses at distinct depths -> depth discontinuities and
+    real occlusions in the warped right view)."""
+    disp = (rng.uniform(2, max_disp * 0.25)
+            + (1 - yy / h) * rng.uniform(0, max_disp * 0.3)
+            + (xx / w) * rng.uniform(-0.1, 0.1) * max_disp)
+    for _ in range(rng.integers(2, 6)):
         cy, cx = rng.uniform(0, h), rng.uniform(0, w)
         s = rng.uniform(h / 8, h / 2)
         disp = disp + np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s)) \
-            * rng.uniform(0, max_disp * 0.4)
-    disp = np.clip(disp, 0.5, max_disp - 1).astype(np.float32)
+            * rng.uniform(0, max_disp * 0.35)
+    for _ in range(rng.integers(1, 5)):  # foreground objects: step edges
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        ry = rng.uniform(h / 12, h / 3)
+        rx = rng.uniform(w / 12, w / 3)
+        if rng.random() < 0.5:
+            m = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2) < 1.0
+        else:
+            m = (np.abs(yy - cy) < ry) & (np.abs(xx - cx) < rx)
+        disp = np.where(m, np.minimum(disp + rng.uniform(0.1, 0.5) * max_disp,
+                                      max_disp - 1), disp)
+    return np.clip(disp, 0.5, max_disp - 1).astype(np.float32)
 
-    # Right view: left warped by disparity (nearest; occlusions ignored).
-    xs = np.clip((xx - disp).round().astype(np.int64), 0, w - 1)
-    right = img[np.arange(h)[:, None], xs]
+
+def make_pair(rng, h, w, max_disp):
+    """Geometrically consistent pair under the standard rectified convention
+    left[x] == right[x - d(x)] (the convention of ops/cost_volume.py:
+    gwc[d, w] = <L[w], R[w-d]>): the right view is a FORWARD splat of the
+    left image to x - d, nearest-surface-wins at collisions (splat in
+    ascending-disparity order so the largest disparity, i.e. the nearest
+    surface, lands last). Disocclusion holes are filled with an independent
+    background texture.
+
+    The pre-r5 generator warped the other way (right[x] = left[x - d]),
+    which put every true correspondence at NEGATIVE disparity — unmatchable
+    by the volume — so models trained on it could only learn a monocular
+    position prior (the r4 'constant-offset' held-out collapses).
+    """
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = _texture(rng, h, w, yy, xx)
+    disp = _disparity(rng, h, w, yy, xx, max_disp)
+
+    # Forward splat left -> right at xr = xl - d. Sort each image's pixels
+    # by disparity ascending; assigning in that order makes the nearest
+    # surface win collisions. Holes keep the background texture.
+    right = _texture(rng, h, w, yy, xx)  # disocclusion background
+    xr = (xx - disp).round().astype(np.int64)
+    valid = (xr >= 0) & (xr < w)
+    flat_t = (yy.astype(np.int64) * w + xr)[valid]
+    flat_s = (yy.astype(np.int64) * w + xx.astype(np.int64))[valid]
+    order = np.argsort(disp[valid], kind="stable")
+    r2 = right.reshape(h * w, 3)
+    r2[flat_t[order]] = img.reshape(h * w, 3)[flat_s[order]]
+    right = r2.reshape(h, w, 3)
     return img.astype(np.uint8), right.astype(np.uint8), disp
 
 
