@@ -149,3 +149,74 @@ def test_hierarchical_inference(rng):
     disp = run_hierarchical(apply_fn, left, right, iters=1, small_ratio=0.5)
     assert disp.shape == (1, H, W)
     assert np.isfinite(np.asarray(disp)).all()
+
+
+# ---------------------------------------------------------------------------
+# Golden tests vs the reference's own math (VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_depth2xyzmap_golden_vs_reference(rng):
+    """Run the reference's own Utils.depth2xyzmap (torch-free numpy) on the
+    same inputs and require exact agreement."""
+    import os
+    import sys
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference tree not mounted")
+    pytest.importorskip("torch")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from ref_shims import install_reference_shims
+
+    install_reference_shims()
+    import Utils as RefUtils
+
+    K = np.array([[120.0, 0, 31.5], [0, 118.0, 23.5], [0, 0, 1]], np.float32)
+    depth = rng.uniform(0.05, 5.0, (48, 64)).astype(np.float32)  # some < zmin
+    ref = RefUtils.depth2xyzmap(depth, K)
+    ours = depth2xyzmap(depth, K)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_erp_pointcloud_golden_vs_reference_math(rng):
+    """Numeric golden for the ERP sphere triangulation: transcription of the
+    reference's panorama branch (scripts/run_demo.py:181-219, reference
+    variable names kept) evaluated on a synthetic disparity with occlusion
+    removal, compared elementwise against erp_pointcloud + remove_invisible."""
+    H, W = 32, 64
+    baseline = 0.12
+    disp = rng.uniform(0.5, 12.0, (H, W)).astype(np.float64)
+
+    # --- reference math, transcribed from scripts/run_demo.py:174-219 ------
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    us_right = xx - disp
+    invalid = us_right < 0
+    disp_ref = disp.copy()
+    disp_ref[invalid] = np.inf
+
+    half_fov_lat = np.pi * 90 / 180
+    half_fov_lon = np.pi * 180 / 180
+    sx_up = yy * 2 / H - 1
+    sy_up = xx * 2 / W - 1
+    lon_up = sx_up * half_fov_lon
+    lat_up = sy_up * half_fov_lat
+    vs_down = (xx - disp_ref).copy()
+    sy_down = vs_down * 2 / W - 1
+    lat_down = sy_down * half_fov_lat
+    ang_disp = disp_ref * 2 * half_fov_lon / W
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tr = baseline * np.cos(lat_down) / np.sin(ang_disp)
+    tx = np.sin(lat_up)
+    tz = np.cos(lat_up) * np.sin(lon_up)
+    ty = -np.cos(lat_up) * np.cos(lon_up)
+    point_up = np.stack([tx * tr, ty * tr, tz * tr], axis=-1)
+
+    # --- ours ---------------------------------------------------------------
+    disp_ours = remove_invisible(disp)
+    pts = erp_pointcloud(disp_ours, baseline)
+
+    valid = ~invalid
+    np.testing.assert_allclose(pts[valid], point_up[valid], rtol=1e-9,
+                               atol=1e-12)
+    # occluded pixels are non-finite both ways (inf disparity)
+    assert not np.isfinite(pts[invalid]).all(axis=-1).any()

@@ -14,12 +14,11 @@ TensorRT route, readme.md:100-107) and XFORMERS_DISABLED=1. Each test:
 This validates the converter's layout/semantics against real torch modules —
 the thing a synthesized-state-dict roundtrip cannot do.
 
-KNOWN BLOCKER (documented per VERDICT.md): the EdgeNeXt trunk cannot be
-parity-tested — the reference builds it via
-``timm.create_model('edgenext_small', pretrained=True)`` (core/extractor.py:327)
-and timm is not installed in this environment (and pretrained weights are not
-downloadable offline). A stub timm module satisfies the reference's
-module-level ``import timm`` only. See test_edgenext_parity_blocked.
+The EdgeNeXt trunk is parity-tested against tests/timm_edgenext_stub.py — a
+re-implementation of timm's ``edgenext_small`` module/parameter structure
+(timm itself is not installed; real pretrained weights remain unfetchable
+offline, so this verifies the converter's timm NAME MAP and the trunk
+semantics, not the published weights). See test_edgenext_trunk_parity.
 """
 
 from __future__ import annotations
@@ -41,23 +40,10 @@ from foundationstereo_tpu.convert.torch_import import (  # noqa: E402
     apply_rules,
     submodule_rules,
 )
+from ref_shims import REF, install_reference_shims  # noqa: E402
 
-REF = "/root/reference"
 CFG = ModelConfig(max_disp=64, vit_size="vits", mixed_precision=False,
                   use_pallas=False)
-
-
-class _Stub:
-    """Inert attribute sink for stubbed optional modules."""
-
-    def __init__(self, name):
-        self._name = name
-
-    def __getattr__(self, attr):
-        return _Stub(f"{self._name}.{attr}")
-
-    def __call__(self, *a, **kw):
-        raise ModuleNotFoundError(f"{self._name} is stubbed in tests")
 
 
 # ---------------------------------------------------------------------------
@@ -69,45 +55,7 @@ class _Stub:
 def ref():
     if not os.path.isdir(REF):
         pytest.skip("reference tree not mounted")
-    os.environ["XFORMERS_DISABLED"] = "1"
-    if "flash_attn" not in sys.modules:
-        fa = types.ModuleType("flash_attn")
-
-        def flash_attn_func(q, k, v, *a, **kw):
-            # flash_attn layout (B, S, H, D) -> SDPA layout (B, H, S, D).
-            # Default softmax scale is 1/sqrt(head_dim) in both.
-            o = torch.nn.functional.scaled_dot_product_attention(
-                q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2))
-            return o.transpose(1, 2)
-
-        fa.flash_attn_func = flash_attn_func
-        fa.flash_attn_qkvpacked_func = None
-        sys.modules["flash_attn"] = fa
-    if "timm" not in sys.modules:
-        t = types.ModuleType("timm")
-
-        def create_model(*a, **kw):
-            raise ModuleNotFoundError(
-                "timm is not installed — EdgeNeXt parity blocked")
-
-        t.create_model = create_model
-        sys.modules["timm"] = t
-    # The reference's Utils.py imports a pile of unrelated tooling at module
-    # level (torchvision, trimesh, imageio, joblib, ...). Stub whatever is
-    # absent — none of it participates in the modules under test.
-    for name in ("torchvision", "trimesh", "imageio", "joblib", "cv2",
-                 "open3d", "matplotlib", "mlflow", "transformations",
-                 "pandas"):
-        try:
-            __import__(name)
-        except ImportError:
-            stub = types.ModuleType(name)
-            stub.__all__ = []  # allow `from X import *`
-            stub.__getattr__ = lambda attr, _n=name: _Stub(f"{_n}.{attr}")
-            sys.modules[name] = stub
-    for p in (REF, f"{REF}/dinov2"):
-        if p not in sys.path:
-            sys.path.append(p)
+    install_reference_shims()
     import core.extractor as ext
     import core.foundation_stereo as fs
     import core.geometry as geo
@@ -391,16 +339,36 @@ def test_stem2_parity(ref, rng):
     assert_close(fm.apply(variables, x_j), y_t)
 
 
-def test_edgenext_parity_blocked(ref):
-    """DOCUMENTED BLOCKER: the reference's EdgeNeXt trunk comes from
-    timm.create_model('edgenext_small', pretrained=True)
-    (core/extractor.py:327); timm is not installed and pretrained weights are
-    not fetchable offline, so trunk activation parity cannot be established
-    here. The converter flags all EdgeNeXt entries as `uncertain`."""
-    with pytest.raises(ModuleNotFoundError):
-        import timm  # noqa: F401  (stub installed by the `ref` fixture)
+def test_edgenext_trunk_parity(ref, rng):
+    """EdgeNeXt-S trunk parity against the timm-structured torch stub
+    (tests/timm_edgenext_stub.py), through the converter's timm name map —
+    the entries previously flagged `uncertain`. Real timm/pretrained weights
+    remain unfetchable offline; this pins the NAME MAP and block semantics
+    (ConvNeXt blocks, SDTA split cascade, XCA, Fourier pos-emb) against real
+    torch modules carrying timm's exact state_dict keys
+    (core/extractor.py:327-329, 358-362)."""
+    import timm  # the working stub installed by ref_shims
 
-        timm.create_model("edgenext_small", pretrained=True)
+    from foundationstereo_tpu.models.edgenext import EdgeNeXt
+
+    tm = randomize_(timm.create_model("edgenext_small"))
+    # Layer-scale gammas get re-randomized to O(0.1) by randomize_; keep them
+    # (non-trivial residual mixing is exactly what we want to test).
+    x_t = torch.from_numpy(rng.standard_normal((1, 3, 64, 96)).astype(np.float32))
+    with torch.no_grad():
+        feats_t = []
+        y = tm.stem(x_t)
+        for stage in tm.stages:
+            y = stage(y)
+            feats_t.append(y)
+
+    fm = EdgeNeXt()
+    x_j = t2j(x_t)
+    variables = import_into(fm, (x_j,), tm.state_dict(),
+                            "feature/edgenext", "feature")
+    feats_j = fm.apply(variables, x_j)
+    for ours, theirs in zip(feats_j, feats_t):
+        assert_close(ours, theirs, rtol=2e-3, atol=2e-3)
 
 
 # ---------------------------------------------------------------------------
