@@ -56,11 +56,26 @@ class ModelConfig:
     bf16_pyramids: bool = True    # bf16 geometry/corr pyramids on the Pallas
                                   # path (halves refine-loop HBM traffic;
                                   # fp32 accumulation inside the kernel)
+    # Consumer fusion of the cost-volume build into corr_stem's 1x1 proj
+    # (single-chip Pallas path): the kernel emits (gwc, rps) parts directly
+    # in (B, D, H, C', W) order and CorrStem contracts them against kernel
+    # slices — the 32-ch volume, its epilogue transpose, and the D-broadcast
+    # left-projection term are never materialized (r3 byte accounting:
+    # ~4 ms/pair; re-verified r5).
+    fused_cost_proj: bool = True
     # ViT self-attention implementation over the ~5-9k patch tokens (the #1
     # FLOPs consumer; reference uses xformers/flash-attn,
     # dinov2/dinov2/layers/attention.py:82-99). "auto" resolves to the Pallas
     # flash kernel on TPU and the dense einsum elsewhere at trace time.
     vit_attention: str = "auto"   # auto | dense | chunked | flash
+    # Training-path rematerialization knobs. Both default ON — the r2
+    # batch-size-2 OOM was dominated by the cost-filter stack's backward
+    # residuals — but they trade FLOPs for memory, so the train-step
+    # utilization work (round 5) measures each half independently:
+    #   remat_filter: remat CorrStem/FeatureAtt/Hourglass/Classifier
+    #   remat_refine: remat each refine (GRU) scan iteration
+    remat_filter: bool = True
+    remat_refine: bool = True
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":

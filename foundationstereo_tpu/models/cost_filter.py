@@ -95,9 +95,36 @@ class Hourglass(nn.Module):
         return conv
 
 
+class _Proj1x1Params(nn.Module):
+    """Parameter shell matching ``Conv(features, 1, name=...)`` on a 5D input:
+    the param path is ``<name>/Conv_0/{kernel,bias}`` with a (1,1,1,Cin,F)
+    kernel, so checkpoints are interchangeable between the dense and the
+    fused (parts) projection paths."""
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        from foundationstereo_tpu.models.layers import _ConvParams
+
+        return _ConvParams((1, 1, 1, self.in_dim, self.features),
+                           use_bias=True, name="Conv_0")()
+
+
 class CorrStem(nn.Module):
     """Project the raw 32-ch (gwc+concat) volume into the 28-ch filtered space
-    (core/foundation_stereo.py:164-169)."""
+    (core/foundation_stereo.py:164-169).
+
+    ``x`` is either the materialized (B, D, H, W, 32) volume, or the
+    consumer-fusion parts tuple ``(gwc, rps, left_proj)`` from
+    ``build_cost_volume_pallas(..., return_parts=True)`` — gwc (B, D, H, G, W),
+    rps (B, D, H, P, W), left_proj (B, H, W, P). The parts path applies the
+    SAME 1x1 projection as three channel-slice contractions (concat order
+    [gwc, left, right] — ops/cost_volume.py), so the ~0.5 GB 32-ch volume is
+    never materialized: the kernel parts are read once and the 28-ch output
+    is written once, already in NDHWC.
+    """
 
     volume_dim: int = 28
     dtype: Dtype = jnp.float32
@@ -105,7 +132,22 @@ class CorrStem(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
-        x = Conv(self.volume_dim, 1, dtype=dt, name="proj")(x)
+        if isinstance(x, (tuple, list)):
+            gwc, rps, lp = x
+            g, p = gwc.shape[3], rps.shape[3]
+            kernel, bias = _Proj1x1Params(self.volume_dim, g + 2 * p,
+                                          name="proj")()
+            k = kernel[0, 0, 0].astype(dt)        # (G+2P, F)
+            kg, kl, kr = k[:g], k[g:g + p], k[g + p:]
+            # One MXU pass per part, output written directly as
+            # (B, D, H, W, F); the d-invariant left term adds per (B, H, W).
+            x = (jnp.einsum("bdhgw,gf->bdhwf", gwc.astype(dt), kg)
+                 + jnp.einsum("bdhpw,pf->bdhwf", rps.astype(dt), kr))
+            lterm = (jnp.einsum("bhwp,pf->bhwf", lp.astype(dt), kl)
+                     + bias.astype(dt))
+            x = x + lterm[:, None]
+        else:
+            x = Conv(self.volume_dim, 1, dtype=dt, name="proj")(x)
         x = BasicConv(self.volume_dim, 3, 1, 1, dtype=dt, name="conv")(x, train)
         x = ResnetBasicBlock(self.volume_dim, dtype=dt, name="res0")(x, train)
         x = ResnetBasicBlock(self.volume_dim, dtype=dt, name="res1")(x, train)

@@ -276,20 +276,30 @@ class FoundationStereo(nn.Module):
                 features_left[0], features_right[0], lproj, rproj, D,
                 cfg.cv_group, mesh=current_mesh()).astype(dt)
         elif costvol_mode == "pallas":
-            comb = build_cost_volume_pallas(
-                features_left[0], features_right[0], lproj, rproj, D,
-                cfg.cv_group).astype(dt)
+            if cfg.fused_cost_proj:
+                # Parts stay in kernel order; CorrStem's 1x1 proj contracts
+                # them directly (consumer fusion — the 32-ch volume is never
+                # materialized). bf16 parts match the dense path's rounding
+                # (the dense volume is cast to dt before the proj anyway).
+                comb = build_cost_volume_pallas(
+                    features_left[0], features_right[0], lproj, rproj, D,
+                    cfg.cv_group, return_parts=True, out_dtype=dt) + (lproj,)
+            else:
+                comb = build_cost_volume_pallas(
+                    features_left[0], features_right[0], lproj, rproj, D,
+                    cfg.cv_group).astype(dt)
         else:
             gwc = build_gwc_volume(features_left[0], features_right[0], D, cfg.cv_group)
             concat_vol = build_concat_volume(lproj, rproj, D)
             comb = jnp.concatenate([gwc.astype(dt), concat_vol.astype(dt)], axis=-1)
-        comb = shard_spatial(comb, w_axis=3)
+        if not isinstance(comb, tuple):  # parts tuple = single-chip fused path
+            comb = shard_spatial(comb, w_axis=3)
 
         # During training the cost-filter stack is rematerialized: its
         # backward residuals (full-volume activations inside the APC/DT
         # blocks) dominated the batch-2 OOM gap (docs/NOTES_ROUND2.md).
         # nn.remat preserves the param paths (checkpoint-converter contract).
-        if train:
+        if train and cfg.remat_filter:
             CorrStemM = nn.remat(CorrStem, static_argnums=(2,))
             FeatureAttM = nn.remat(FeatureAtt, static_argnums=(3,))
             HourglassM = nn.remat(Hourglass, static_argnums=(3,))
@@ -304,7 +314,7 @@ class FoundationStereo(nn.Module):
 
         # --- Initial disparity (soft-argmin, fp32) --------------------------
         ClassifierM = (nn.remat(Classifier, static_argnums=(2,))
-                       if train else Classifier)
+                       if train and cfg.remat_filter else Classifier)
         logits = ClassifierM(cfg.volume_dim, dtype=dt, name="classifier")(comb, train)
         prob = jax.nn.softmax(logits.astype(jnp.float32), axis=1)  # (B, D, H/4, W/4)
         if init_disp is None:
@@ -337,7 +347,7 @@ class FoundationStereo(nn.Module):
         # reference's 32x-unrolled Python loop) and rematerialized per
         # iteration during training to bound backward memory.
         step_cls = _RefineStep
-        if train:
+        if train and cfg.remat_refine:
             step_cls = nn.remat(step_cls, static_argnums=())
         loop = nn.scan(
             step_cls,

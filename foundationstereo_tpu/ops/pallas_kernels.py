@@ -379,7 +379,8 @@ def disparity_lookup_pallas(geo_pyramid, corr_pyramid, disp, radius: int,
 
 
 def _cost_volume_row_kernel(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref,
-                            rn_pad, rp_pad, *, maxdisp: int, num_groups: int):
+                            rn_pad, rp_pad, *, maxdisp: int, num_groups: int,
+                            out5d: bool = False):
     """One image row, width on the minor (lane) axis.
 
     ln/rn: (1, G, cg, W) L2-group-normalized features; rp: (1, P, W) projected
@@ -388,6 +389,9 @@ def _cost_volume_row_kernel(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref,
     is d-invariant and concatenated outside the kernel).
     rn_pad/rp_pad: (…, W + D) VMEM scratch holding zero-padded right rows
     (the shift w-d < 0 -> 0 comes from slicing into the zero prefix).
+    ``out5d``: output blocks are (1, D, 1, C', W) — the row-index singleton
+    sits between D and C' so the array materializes directly as
+    (B, D, H, C', W) with no epilogue transpose (see _cost_volume_rows).
     """
     G, cg, W = ln_ref.shape[1], ln_ref.shape[2], ln_ref.shape[3]
     P = rp_ref.shape[1]
@@ -405,8 +409,14 @@ def _cost_volume_row_kernel(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref,
     # dynamic lane-axis slices, but handles arbitrary static offsets.
     for d in range(maxdisp):
         rshift = rn_all[:, :, maxdisp - d : maxdisp - d + W]       # (G, cg, W)
-        gwc_ref[0, d, :, :] = jnp.sum(ln * rshift, axis=1)         # (G, W)
-        rps_ref[0, d, :, :] = rp_all[:, maxdisp - d : maxdisp - d + W]
+        gwc = jnp.sum(ln * rshift, axis=1)                         # (G, W)
+        rps = rp_all[:, maxdisp - d : maxdisp - d + W]
+        if out5d:
+            gwc_ref[0, d, 0, :, :] = gwc.astype(gwc_ref.dtype)
+            rps_ref[0, d, 0, :, :] = rps.astype(rps_ref.dtype)
+        else:
+            gwc_ref[0, d, :, :] = gwc.astype(gwc_ref.dtype)
+            rps_ref[0, d, :, :] = rps.astype(rps_ref.dtype)
 
 
 def _cost_volume_row_kernel_roll(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref, *,
@@ -452,28 +462,64 @@ def _cost_volume_row_kernel_haloed(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref,
     rp_all = rp_ref[0].astype(jnp.float32)
     for d in range(maxdisp):
         rshift = rn_all[:, :, maxdisp - d : maxdisp - d + W]
-        gwc_ref[0, d, :, :] = jnp.sum(ln * rshift, axis=1)
-        rps_ref[0, d, :, :] = rp_all[:, maxdisp - d : maxdisp - d + W]
+        gwc_ref[0, d, :, :] = jnp.sum(ln * rshift, axis=1).astype(gwc_ref.dtype)
+        rps_ref[0, d, :, :] = rp_all[:, maxdisp - d : maxdisp - d + W].astype(
+            rps_ref.dtype)
 
 
 def _cost_volume_rows(ln, rn, rp, maxdisp: int, num_groups: int,
-                      interpret: bool, haloed: bool):
+                      interpret: bool, haloed: bool,
+                      out_dtype=jnp.float32, bh=None):
     """Shared pallas_call plumbing: row-major inputs -> (gwc, rps) rows.
 
     ln (R, G, cg, W); rn/rp widths are W (haloed=False, kernel zero-pads in
-    scratch) or maxdisp+W (haloed=True, pre-padded by the caller)."""
+    scratch) or maxdisp+W (haloed=True, pre-padded by the caller).
+
+    ``bh=(B, H)`` (requires R == B*H) writes the outputs directly as
+    (B, D, H, C', W) arrays — row i lands at [i // H, :, i % H] — so the
+    consumer-fusion path (CorrStem on parts) needs NO epilogue transpose of
+    the ~0.5 GB volume: the kernel's index map IS the transpose.
+    """
     R, g, cg, w = ln.shape
     p = rp.shape[1]
     wr = rn.shape[-1]
+    out5d = bh is not None
     if haloed:
         kernel = functools.partial(_cost_volume_row_kernel_haloed,
                                    maxdisp=maxdisp, num_groups=num_groups)
         scratch = []
     else:
         kernel = functools.partial(_cost_volume_row_kernel, maxdisp=maxdisp,
-                                   num_groups=num_groups)
+                                   num_groups=num_groups, out5d=out5d)
         scratch = [pltpu.VMEM((g, cg, w + maxdisp), jnp.float32),
                    pltpu.VMEM((p, w + maxdisp), jnp.float32)]
+    if out5d:
+        b, h = bh
+        assert b * h == R, (bh, R)
+        assert not haloed, "5D output layout is single-chip only"
+        out_specs = (
+            pl.BlockSpec((1, maxdisp, 1, g, w),
+                         lambda i: (i // h, 0, i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maxdisp, 1, p, w),
+                         lambda i: (i // h, 0, i % h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((b, maxdisp, h, g, w), out_dtype),
+            jax.ShapeDtypeStruct((b, maxdisp, h, p, w), out_dtype),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((1, maxdisp, g, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maxdisp, p, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((R, maxdisp, g, w), out_dtype),
+            jax.ShapeDtypeStruct((R, maxdisp, p, w), out_dtype),
+        )
     return pl.pallas_call(
         kernel,
         grid=(R,),
@@ -482,16 +528,8 @@ def _cost_volume_rows(ln, rn, rp, maxdisp: int, num_groups: int,
             pl.BlockSpec((1, g, cg, wr), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, wr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, maxdisp, g, w), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, maxdisp, p, w), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((R, maxdisp, g, w), jnp.float32),
-            jax.ShapeDtypeStruct((R, maxdisp, p, w), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
     )(ln, rn, rp)
@@ -560,10 +598,21 @@ def build_cost_volume_pallas_sharded(left: jnp.ndarray, right: jnp.ndarray,
 def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
                              left_proj: jnp.ndarray, right_proj: jnp.ndarray,
                              maxdisp: int, num_groups: int,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             return_parts: bool = False,
+                             out_dtype=jnp.float32):
     """Fused gwc+concat volume: (B, H, W, C)x2 + (B, H, W, P)x2 ->
     (B, D, H, W, G+2P) fp32, identical to concat([build_gwc_volume,
-    build_concat_volume]) along channels."""
+    build_concat_volume]) along channels.
+
+    ``return_parts=True`` skips the whole epilogue (transpose of the ~0.5 GB
+    volume + D-broadcast of the left projection + 32-ch concat) and returns
+    ``(gwc, rps)`` with shapes (B, D, H, G, W) / (B, D, H, P, W) in
+    ``out_dtype`` — written in that order directly by the kernel's index map.
+    The consumer (CorrStem's 1x1 proj, core/foundation_stereo.py:164-169
+    semantics) contracts these against slices of its kernel and adds the
+    d-invariant left-projection term once, reading the parts exactly once.
+    """
     b, h, w, c = left.shape
     p = left_proj.shape[-1]
     g = num_groups
@@ -573,6 +622,12 @@ def build_cost_volume_pallas(left: jnp.ndarray, right: jnp.ndarray,
     ln = group_normalize(left, g).reshape(b * h, w, g, cg).transpose(0, 2, 3, 1)
     rn = group_normalize(right, g).reshape(b * h, w, g, cg).transpose(0, 2, 3, 1)
     rp = right_proj.reshape(b * h, w, p).astype(jnp.float32).transpose(0, 2, 1)
+
+    if return_parts:
+        gwc, rps = _cost_volume_rows(ln, rn, rp, maxdisp, g, interpret,
+                                     haloed=False, out_dtype=out_dtype,
+                                     bh=(b, h))
+        return gwc, rps
 
     gwc, rps = _cost_volume_rows(ln, rn, rp, maxdisp, g, interpret,
                                  haloed=False)

@@ -55,6 +55,11 @@ class Trainer:
         self.enable_ema = enable_ema
         self.iters = self.model_cfg.train_iters
         self._tx = None
+        # Measurement-only knob (scripts/bench_train_step.py --bn_frozen):
+        # run the forward-under-grad with train=False so BatchNorm uses
+        # running stats — isolates the cost of batch-stat reductions (and
+        # their recompute under remat) in the step time. NOT a training mode.
+        self.train_flag = True
 
     def init_state(self, sample_batch: dict) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
@@ -116,7 +121,7 @@ class Trainer:
             out, mutated = self.model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 batch["left"], batch["right"], iters=self.iters,
-                test_mode=False, train=True,
+                test_mode=False, train=self.train_flag,
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.wrap_key_data(batch["rng"])}
                 if "rng" in batch else {},

@@ -38,6 +38,19 @@ def main():
                     help="train = full step; eval = test-mode forward only "
                          "(same shapes/iters) — the difference isolates "
                          "backward+update cost")
+    # Stage-knockout flags (round-5 utilization split). Each removes ONE
+    # cost source from the compiled step; the delta vs the default step is
+    # that source's price. Knockouts change semantics — measurement only.
+    ap.add_argument("--remat_filter", type=int, default=1,
+                    help="0 = keep cost-filter activations (no recompute)")
+    ap.add_argument("--remat_refine", type=int, default=1,
+                    help="0 = keep refine-iteration activations")
+    ap.add_argument("--bn_frozen", type=int, default=0,
+                    help="1 = BatchNorm uses running stats under grad "
+                         "(knocks out batch-stat reductions + their remat)")
+    ap.add_argument("--loss_last_only", type=int, default=0,
+                    help="1 = L1 on the final pred only (knocks out the "
+                         "22x full-res upsample/loss stack backward)")
     args = ap.parse_args()
 
     import jax
@@ -45,17 +58,26 @@ def main():
 
     from foundationstereo_tpu.train.trainer import Trainer, make_label_index
 
+    stereo_loss = (
+        {"function": "disparity_l1_loss", "weight": 1.0,
+         "params": {"max_disparity": float(args.max_disp)}}
+        if args.loss_last_only else
+        {"function": "foundation_stereo_loss", "weight": 1.0,
+         "params": {"gamma": 0.9, "max_disparity": float(args.max_disp)}})
     config = {
         "model": {
             "max_disp": args.max_disp, "vit_size": args.vit_size,
             "mixed_precision": True, "train_iters": args.iters,
             "valid_iters": args.iters,
+            "remat_filter": bool(args.remat_filter),
+            "remat_refine": bool(args.remat_refine),
+            # bn_frozen runs the fwd-under-grad with train=False; pin the
+            # XLA kernels so _pallas_mode doesn't flip to the inference-only
+            # (non-differentiable) Pallas lookup and skew the comparison.
+            **({"use_pallas": False} if args.bn_frozen else {}),
         },
         "loss": {
-            "stereo": {"main": {"function": "foundation_stereo_loss",
-                                "weight": 1.0,
-                                "params": {"gamma": 0.9,
-                                           "max_disparity": float(args.max_disp)}}},
+            "stereo": {"main": stereo_loss},
             "invalid": {"dummy": {"function": "disparity_l1_loss", "weight": 0.0,
                                   "params": {"max_disparity": float(args.max_disp)}}},
         },
@@ -80,6 +102,8 @@ def main():
           f"iters={args.iters}", flush=True)
 
     trainer = Trainer(config, seed=0, enable_ema=bool(args.ema))
+    if args.bn_frozen:
+        trainer.train_flag = False  # measurement-only: see Trainer.train_flag
     t0 = time.time()
     state = trainer.init_state(batch)
     float(jnp.sum(jax.tree.leaves(state.params)[0]))

@@ -6,7 +6,10 @@
 # wedge this runtime on re-execution — bench.py note).
 
 alive() {
-  timeout 90 python -c "
+  # 240s: fresh-process first dispatch over the tunnel was measured at
+  # 90-120s on 2026-08-19 (blocked in the runtime, not CPU-starved) — a 90s
+  # probe timeout produced endless false NOT-ALIVE loops.
+  timeout 240 python -c "
 import jax, jax.numpy as jnp
 print('ALIVE', float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))" 2>/dev/null | grep -q ALIVE
 }

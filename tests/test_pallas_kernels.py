@@ -121,6 +121,38 @@ def test_cost_volume_kernel_matches_xla(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_cost_volume_parts_mode_matches_dense_corrstem(rng):
+    """Consumer fusion: build_cost_volume_pallas(return_parts=True) feeding
+    CorrStem's sliced 1x1 projection equals CorrStem on the materialized
+    concat volume with the SAME parameters (checkpoint-compatible paths)."""
+    import jax
+    from foundationstereo_tpu.models.cost_filter import CorrStem
+
+    b, h, w, c, p, d, g = 1, 3, 24, 16, 4, 10, 4
+    l = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    lp = jnp.asarray(rng.standard_normal((b, h, w, p)).astype(np.float32))
+    rp = jnp.asarray(rng.standard_normal((b, h, w, p)).astype(np.float32))
+
+    dense = build_cost_volume_pallas(l, r, lp, rp, d, g, interpret=True)
+    gwc, rps = build_cost_volume_pallas(l, r, lp, rp, d, g, interpret=True,
+                                        return_parts=True)
+    # Parts layout is (B, D, H, C', W) straight from the kernel's index map.
+    np.testing.assert_allclose(
+        np.asarray(gwc), np.asarray(dense[..., :g].transpose(0, 1, 2, 4, 3)),
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(rps),
+        np.asarray(dense[..., g + p:].transpose(0, 1, 2, 4, 3)),
+        rtol=1e-6, atol=1e-6)
+
+    stem = CorrStem(volume_dim=8)
+    params = stem.init(jax.random.PRNGKey(0), dense)
+    ref = np.asarray(stem.apply(params, dense))
+    got = np.asarray(stem.apply(params, (gwc, rps, lp)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_sharded_cost_volume_matches_unsharded(rng):
     """shard_map'd cost volume (explicit right-feature halo over 'spatial')
     equals the single-device build — including maxdisp > W/shards, where the
