@@ -86,6 +86,43 @@ def test_metrics_pack(rng):
 
 @pytest.mark.slow
 @pytest.mark.xdist_group("heavy_subprocess")
+@pytest.mark.parametrize("fmt", ["middlebury", "eth3d", "kitti2015"])
+def test_eval_cli_benchmark_formats(tmp_path, fmt):
+    """scripts/eval.py end-to-end per real-benchmark on-disk format (the
+    readers behind BASELINE.md Tables 2-4), on fixtures emitted by
+    scripts/make_eval_fixtures.py — not just the unit-level readers above."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(repo)
+    fix = tmp_path / "fixtures"
+    subprocess.run(
+        [sys.executable, str(repo / "scripts/make_eval_fixtures.py"), "--out",
+         str(fix), "--n", "1", "--height", "96", "--width", "128",
+         "--max_disp", "32"], check=True, timeout=300, env=env)
+    out = tmp_path / "metrics.jsonl"
+    res = subprocess.run(
+        [sys.executable, str(repo / "scripts/eval.py"), "--dataset", fmt,
+         "--root", str(fix / fmt), "--vit_size", "vits", "--max_disp", "64",
+         "--valid_iters", "2", "--out", str(out)],
+        capture_output=True, text=True, timeout=1200, env=env)
+    assert res.returncode == 0, res.stderr[-3000:]
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    frames = [r for r in rows if r["type"] == "frame"]
+    summary = [r for r in rows if r["type"] == "summary"]
+    assert len(frames) == 1 and len(summary) == 1
+    assert np.isfinite(frames[0]["epe"]) and 0 < frames[0]["density"] <= 1
+    assert summary[0]["dataset"] == fmt
+
+
+@pytest.mark.slow
+@pytest.mark.xdist_group("heavy_subprocess")
 def test_eval_cli_end_to_end(tmp_path, rng):
     """scripts/eval.py runs the full surface: FSD reader -> padded forward ->
     metric pack -> per-frame + summary JSONL (the on-chip r3/r4 eval runs use
