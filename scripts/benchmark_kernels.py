@@ -175,6 +175,48 @@ def main():
         t = timeit(lambda: f(left, right, lp, rp), args.reps) / n
         emit(results, "cost_volume_xla", t, k1_sol, k1_sol_meas, n)
 
+    # --- k1 fused consumer boundary (the default production path, r5):
+    # kernel writes bf16 (gwc, rps) parts in kernel layout, CorrStem's 1x1
+    # projection contracts them to the 28-ch NDHWC output — the 32-ch volume
+    # never exists. Contract traffic: parts written + parts read + F-ch out
+    # written + one consumer read of the output (the scan's sum; corr_stem's
+    # 3x3x3 conv reads it in the real pipeline).
+    parts_bytes = B * D * H * W * (G + P) * 2            # bf16 parts
+    fout_bytes = B * D * H * W * VC * 2                  # bf16 28-ch output
+    fused_bytes = 2 * parts_bytes + 2 * fout_bytes + feat_bytes
+    fused_flops = k1_flops + 2 * B * D * H * W * (G + 2 * P) * VC
+
+    def k1f_sol_at(gbps, tflops):
+        s = fused_bytes / (gbps * 1e9)
+        return max(s, fused_flops / (tflops * 1e12))
+
+    k1f_sol = k1f_sol_at(HBM_GBPS, BF16_TFLOPS)
+    k1f_sol_meas = k1f_sol_at(meas_gbps, meas_tflops) if meas_gbps else None
+
+    if args.impl in ("pallas", "both"):
+        kproj = mk((G + 2 * P, VC))
+        kg, kl, kr = kproj[:G], kproj[G:G + P], kproj[G + P:]
+
+        def fused_build(a, b_, c_, d_):
+            gwc, rps = build_cost_volume_pallas(
+                a, b_, c_, d_, D, G, interpret=interp, return_parts=True,
+                out_dtype=jnp.bfloat16)
+            out = (jnp.einsum("bdhgw,gf->bdhwf", gwc.astype(jnp.bfloat16),
+                              kg.astype(jnp.bfloat16))
+                   + jnp.einsum("bdhpw,pf->bdhwf", rps.astype(jnp.bfloat16),
+                                kr.astype(jnp.bfloat16)))
+            lterm = jnp.einsum("bhwp,pf->bhwf", c_.astype(jnp.bfloat16),
+                               kl.astype(jnp.bfloat16))
+            return out + lterm[:, None]
+
+        def run_fused(name, thunk):
+            f, n = scan_cv(thunk)
+            t = timeit(lambda: f(left, right, lp, rp), args.reps) / n
+            emit(results, name, t, k1f_sol, k1f_sol_meas, n)
+
+        attempt("cost_volume_fused_proj",
+                lambda: run_fused("cost_volume_fused_proj", fused_build))
+
     # --- k2: lookup (one GRU iteration x args.iters scan) ------------------
     # Minimal traffic per iteration: read the pyramids once.
     pyr_bytes = sum(int(np.prod(g.shape)) * 4 for g in gp) + \

@@ -3,7 +3,9 @@
 # Each run is the bs1 320x736 vits 22-iter step with ONE cost source removed;
 # the delta vs the baseline row is that source's price on this chip.
 cd /root/repo
-export PYTHONPATH=/root/repo
+# Keep /root/.axon_site on the path — clobbering it unregisters the TPU
+# plugin and every aliveness probe fails with "Unable to initialize backend".
+export PYTHONPATH=/root/repo:/root/.axon_site
 LOG=/root/repo/bench_logs/knockouts_r5_driver.log
 source scripts/tpu_probe_lib.sh
 
