@@ -76,6 +76,13 @@ class ModelConfig:
     #   remat_refine: remat each refine (GRU) scan iteration
     remat_filter: bool = True
     remat_refine: bool = True
+    # Train-mode convex-upsample head: scan over the iteration axis (one
+    # head application per refine iteration, rematerialized) instead of
+    # folding iters into the batch. Numerically identical; bounds the head's
+    # live temp set to one iteration — the folded form's backward OOM'd at
+    # compile under the round-5 chipless AOT compiler (30.4 GB plan from
+    # iters-minormost tile layouts). Off = folded, for measurement.
+    scan_upsample: bool = True
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":

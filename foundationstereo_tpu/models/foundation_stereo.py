@@ -375,24 +375,47 @@ class FoundationStereo(nn.Module):
         }
         (net_final, disp, mask_feat), ys = loop(carry0, invariants)
 
-        spx_2_gru = Conv2x(32, deconv=True, bn=False, dtype=dt, name="spx_2_gru")
-        spx_gru = _SpxGruPhases(dtype=dt, name="spx_gru")
-
-        def upsample_disp(disp_, mask_feat_, stem_):
-            xspx = spx_2_gru(mask_feat_, stem_, train)
-            logits = spx_gru(xspx).astype(jnp.float32)     # (B, 4, 9, H/2, W/2)
-            spx_pred = jax.nn.softmax(logits, axis=2)
-            return context_upsample_phased(disp_ * 4.0, spx_pred).astype(jnp.float32)
-
         if test_mode:
-            return upsample_disp(disp, mask_feat, stem_2x)
-        # Train mode: upsample every iteration's disparity. The scan stacked
-        # them; fold the iteration axis into the batch so the upsample heads
-        # run once over (iters*B, ...) instead of `iters` separate programs.
+            return self._upsample_head(disp, mask_feat, stem_2x, train, dt)
         disp_stack, mask_stack = ys  # (iters, B, h4, w4), (iters, B, h4, w4, 32)
-        up = upsample_disp(disp_stack.reshape(iters * B4, h4, w4),
-                           mask_stack.reshape(iters * B4, h4, w4, 32),
-                           jnp.tile(stem_2x, (iters, 1, 1, 1)))
-        up = up.reshape(iters, B4, H, W)
+        if cfg.scan_upsample:
+            # Train mode, scanned: one head application per iteration under
+            # remat. The folded (iters*B) formulation below compiles to a
+            # single big program, but under the round-5 chipless AOT compiler
+            # its backward materializes the whole (iters*B, 4, 9, H/2, W/2)
+            # softmax/deconv temp family with iters-minormost tile layouts
+            # (5.8-139x padding -> 30.4 GB plan -> compile OOM). Scanning
+            # bounds the live set to ONE iteration's head; remat keeps the
+            # backward residuals to the (tiny) per-step inputs.
+            def up_step(mdl, stem, x):
+                d_i, m_i = x
+                return stem, mdl._upsample_head(d_i, m_i, stem, train, dt)
+
+            up_loop = nn.scan(
+                nn.remat(up_step, static_argnums=()),
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": False},
+                in_axes=0, out_axes=0)
+            _, up = up_loop(self, stem_2x, (disp_stack, mask_stack))
+        else:
+            # Folded: the iteration axis joins the batch so the upsample
+            # heads run once over (iters*B, ...) — kept for measurement
+            # (scripts/bench_train_step.py --scan_upsample 0).
+            up = self._upsample_head(
+                disp_stack.reshape(iters * B4, h4, w4),
+                mask_stack.reshape(iters * B4, h4, w4, 32),
+                jnp.tile(stem_2x, (iters, 1, 1, 1)), train, dt)
+            up = up.reshape(iters, B4, H, W)
         disp_preds = [up[i] for i in range(iters)]
         return init_disp, disp_preds
+
+    def _upsample_head(self, disp_, mask_feat_, stem_, train, dt):
+        """spx convex-upsample head (core/foundation_stereo.py:158-160,251):
+        shared by test mode, the folded train path, and the scanned train
+        path — explicit submodule names keep the parameter paths
+        (spx_2_gru/…, spx_gru/…) identical across all three."""
+        xspx = Conv2x(32, deconv=True, bn=False, dtype=dt,
+                      name="spx_2_gru")(mask_feat_, stem_, train)
+        logits = _SpxGruPhases(dtype=dt, name="spx_gru")(xspx)
+        spx_pred = jax.nn.softmax(logits.astype(jnp.float32), axis=2)
+        return context_upsample_phased(disp_ * 4.0, spx_pred).astype(jnp.float32)

@@ -84,16 +84,23 @@ def context_upsample_phased(disp_low: jnp.ndarray, weights: jnp.ndarray) -> jnp.
     """
     b, h, w = disp_low.shape
     xp = jnp.pad(disp_low, ((0, 0), (1, 1), (1, 1)))
-    acc = jnp.zeros((b, 4, 2 * h, 2 * w), disp_low.dtype)
+    # Per-phase accumulators: every tensor inside the tap loop is a plain
+    # (B, 2h, 2w) array. The earlier `tap2[:, None] * weights[:, :, k]`
+    # broadcast form made the chipless AOT compiler (round-5 environment)
+    # materialize the backward cotangent as f32[B,4,1,2h,2w] with the SIZE-1
+    # axis minormost — a 139x tile-padding expansion, 2.7 GB per buffer, and
+    # a train-step compile OOM. No broadcast (size-1) dims -> no such layout.
+    accs = [jnp.zeros((b, 2 * h, 2 * w), disp_low.dtype) for _ in range(4)]
     k = 0
     for dy in range(3):
         for dx in range(3):
             tap = xp[:, dy : dy + h, dx : dx + w]             # (B,h,w)
             tap2 = jnp.repeat(jnp.repeat(tap, 2, axis=1), 2, axis=2)
-            acc = acc + tap2[:, None] * weights[:, :, k]
+            for p in range(4):
+                accs[p] = accs[p] + tap2 * weights[:, p, k]
             k += 1
     # Interleave phases: out[2Y+a, 2X+b] = acc[b, 2a+b, Y, X].
-    acc = acc.reshape(b, 2, 2, 2 * h, 2 * w)
+    acc = jnp.stack(accs, axis=1).reshape(b, 2, 2, 2 * h, 2 * w)
     return acc.transpose(0, 3, 1, 4, 2).reshape(b, 4 * h, 4 * w)
 
 

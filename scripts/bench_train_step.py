@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--loss_last_only", type=int, default=0,
                     help="1 = L1 on the final pred only (knocks out the "
                          "22x full-res upsample/loss stack backward)")
+    ap.add_argument("--scan_upsample", type=int, default=1,
+                    help="0 = folded (iters*B) upsample head instead of the "
+                         "per-iteration scan (r5 default)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +74,7 @@ def main():
             "valid_iters": args.iters,
             "remat_filter": bool(args.remat_filter),
             "remat_refine": bool(args.remat_refine),
+            "scan_upsample": bool(args.scan_upsample),
             # bn_frozen runs the fwd-under-grad with train=False; pin the
             # XLA kernels so _pallas_mode doesn't flip to the inference-only
             # (non-differentiable) Pallas lookup and skew the comparison.

@@ -55,3 +55,19 @@ def test_param_structure(tiny_setup):
     assert "batch_stats" in variables
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
     assert n_params > 1e6
+
+
+def test_scan_upsample_matches_folded(tiny_setup):
+    """cfg.scan_upsample (per-iteration remat scan of the spx head — the
+    round-5 train-memory fix) must be numerically identical to the folded
+    (iters*B) formulation, with an identical parameter tree."""
+    cfg, model, variables, left, right = tiny_setup
+    folded = FoundationStereo(cfg.replace(scan_upsample=False))
+    # Same param tree: both paths create spx_2_gru/spx_gru at the same paths.
+    v2 = folded.init(jax.random.PRNGKey(0), left, right, iters=1, test_mode=True)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(variables)
+    i1, p1 = model.apply(variables, left, right, iters=2, test_mode=False)
+    i2, p2 = folded.apply(variables, left, right, iters=2, test_mode=False)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
