@@ -16,8 +16,16 @@ import numpy as np
 
 
 def export_stablehlo(model, variables, height: int, width: int, iters: int,
-                     out_path: str | Path, batch: int = 1) -> dict:
+                     out_path: str | Path, batch: int = 1,
+                     dynamic_batch: bool = False) -> dict:
     """Lower the test-mode forward at a fixed shape and save StableHLO.
+
+    ``dynamic_batch=True`` exports with a SYMBOLIC batch dimension via
+    jax.export shape polymorphism — the analog of the reference's ONNX
+    ``dynamic_axes={'left': {0: 'batch'}, ...}`` (scripts/make_onnx.py:60):
+    one artifact serves any batch size. H/W/iters stay static (the cost
+    volume, scan length, and Pallas kernel grids are shape-specialized by
+    design — the reference's ONNX export also freezes them).
 
     Returns a small manifest dict (also written next to the artifact).
     """
@@ -39,19 +47,27 @@ def export_stablehlo(model, variables, height: int, width: int, iters: int,
     try:
         from jax import export as jax_export
 
-        exported = jax_export.export(jax.jit(fwd))(variables, left, right)
+        if dynamic_batch:
+            spec = jax_export.symbolic_shape(f"b, {height}, {width}, 3")
+            img = jax.ShapeDtypeStruct(spec, jnp.float32)
+            exported = jax_export.export(jax.jit(fwd))(variables, img, img)
+        else:
+            exported = jax_export.export(jax.jit(fwd))(variables, left, right)
         data = exported.serialize()
         out_path.write_bytes(data)
         fmt = "jax.export serialized StableHLO"
     except Exception:  # noqa: BLE001 — fall back to textual MLIR
+        if dynamic_batch:
+            raise  # a silent static fallback would belie the manifest
         out_path.write_text(str(bytecode))
         fmt = "StableHLO MLIR text"
 
+    bdim = "b (symbolic)" if dynamic_batch else batch
     manifest = {
         "format": fmt,
-        "input_shapes": {"left": [batch, height, width, 3],
-                         "right": [batch, height, width, 3]},
-        "output": f"disparity ({batch}, {height}, {width})",
+        "input_shapes": {"left": [bdim, height, width, 3],
+                         "right": [bdim, height, width, 3]},
+        "output": f"disparity ({bdim}, {height}, {width})",
         "iters": iters,
     }
     import json

@@ -217,6 +217,112 @@ def main():
         attempt("cost_volume_fused_proj",
                 lambda: run_fused("cost_volume_fused_proj", fused_build))
 
+    # --- DMA-floor probes (round 5): identical grid + BlockSpec contracts,
+    # trivial copy/broadcast bodies. Any kernel honoring the same in/out
+    # layouts must pay at least this time — the probes measure the layout
+    # contract itself (block DMA through VMEM at these shapes), so
+    # kernel_time/floor_time close to 1.0 PROVES the residual vs the
+    # streaming-bandwidth roofline is the contract, not the implementation.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from foundationstereo_tpu.ops.cost_volume import group_normalize
+
+    def cv_floor_build(l, r_, lpj, rpj):
+        bb, hh, ww, cc = l.shape
+        pp = rpj.shape[-1]
+        cgg = cc // G
+        ln = group_normalize(l, G).reshape(bb * hh, ww, G, cgg).transpose(0, 2, 3, 1)
+        rn = group_normalize(r_, G).reshape(bb * hh, ww, G, cgg).transpose(0, 2, 3, 1)
+        rpk = rpj.reshape(bb * hh, ww, pp).astype(jnp.float32).transpose(0, 2, 1)
+
+        def kern(ln_ref, rn_ref, rp_ref, gwc_ref, rps_ref):
+            src = ln_ref[0, :, 0, :]                     # (G, W)
+            gwc_ref[0] = jnp.broadcast_to(src[None], (D, G, ww))
+            rps_ref[0] = jnp.broadcast_to(rp_ref[0][None], (D, pp, ww))
+
+        rr = bb * hh
+        gwc, rps = pl.pallas_call(
+            kern, grid=(rr,),
+            in_specs=[
+                pl.BlockSpec((1, G, cgg, ww), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, G, cgg, ww), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, pp, ww), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, D, G, ww), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, pp, ww), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((rr, D, G, ww), jnp.float32),
+                       jax.ShapeDtypeStruct((rr, D, pp, ww), jnp.float32)),
+            interpret=interp,
+        )(ln, rn, rpk)
+        # Same epilogue as build_cost_volume_pallas (the measured row
+        # includes it): transpose + D-broadcast left term + 32-ch concat.
+        gwc = gwc.reshape(bb, hh, D, G, ww).transpose(0, 2, 1, 4, 3)
+        rps = rps.reshape(bb, hh, D, pp, ww).transpose(0, 2, 1, 4, 3)
+        lp_b = jnp.broadcast_to(
+            lpj.astype(jnp.float32)[:, None], (bb, D, hh, ww, pp))
+        return jnp.concatenate([gwc, lp_b, rps], axis=-1)
+
+    if args.impl in ("pallas", "both"):
+        def run_cv_floor():
+            f, n = scan_cv(cv_floor_build)
+            t = timeit(lambda: f(left, right, lp, rp), args.reps) / n
+            emit(results, "cost_volume_dma_floor", t, k1_sol, k1_sol_meas, n)
+        attempt("cost_volume_dma_floor", run_cv_floor)
+
+    def lookup_floor_level(vol, disp_rows, radius):
+        rr, c_dim, d_dim, ww = vol.shape
+        K_ = 2 * radius + 1
+
+        def kern(disp_ref, vol_ref, out_ref):
+            take = min(K_, d_dim)
+            rows = vol_ref[0, :, :take, :]
+            if take < K_:  # pyramid level shorter than the tap count
+                rows = jnp.concatenate(
+                    [rows, jnp.broadcast_to(rows[:, :1],
+                                            (c_dim, K_ - take, ww))], axis=1)
+            out_ref[0] = rows.astype(out_ref.dtype)
+
+        dr = disp_rows.reshape(rr, 1, ww)
+        return pl.pallas_call(
+            kern, grid=(rr,),
+            in_specs=[
+                pl.BlockSpec((1, 1, ww), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, c_dim, d_dim, ww), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, c_dim, K_, ww), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rr, c_dim, K_, ww), jnp.float32),
+            interpret=interp,
+        )(dr, vol)
+
+    def lookup_floor(geo_kk, corr_kk, disp_, radius):
+        # Mirrors disparity_lookup_pallas_pre's plumbing (same per-level
+        # calls, same concat + transpose epilogue) with zero sampling math.
+        b_, h_, w_ = disp_.shape
+        disp_rows = disp_.reshape(b_ * h_, w_)
+        K_ = 2 * radius + 1
+        parts = []
+        for geo, corr in zip(geo_kk, corr_kk):
+            c_dim, d_dim = geo.shape[2], geo.shape[3]
+            g_ = lookup_floor_level(
+                geo.reshape(b_ * h_, c_dim, d_dim, w_), disp_rows, radius)
+            parts.append(g_.reshape(b_ * h_, c_dim * K_, w_))
+            c_ = lookup_floor_level(
+                corr.reshape(b_ * h_, 1, corr.shape[3], w_), disp_rows, radius)
+            parts.append(c_.reshape(b_ * h_, K_, w_))
+        feat = jnp.concatenate(parts, axis=1)
+        return feat.transpose(0, 2, 1).reshape(b_, h_, w_, -1)
+
     # --- k2: lookup (one GRU iteration x args.iters scan) ------------------
     # Minimal traffic per iteration: read the pyramids once.
     pyr_bytes = sum(int(np.prod(g.shape)) * 4 for g in gp) + \
@@ -272,6 +378,13 @@ def main():
             results, name,
             timeit(lambda: fg(disp, gk16, ck16), args.reps), k2_sol / 2,
             half(k2_meas), args.iters))
+        # DMA floor at the same specs (see floor-probe comment above).
+        ffl = scan_lookup(lambda g, c, d, r: lookup_floor(g, c, d, r))
+        name = f"lookup_dma_floor_x{args.iters}"
+        attempt(name, lambda name=name: emit(
+            results, name,
+            timeit(lambda: ffl(disp, gk, ck), args.reps), k2_sol,
+            k2_meas, args.iters))
         # Fused kernel needs bf16 layouts (fp32 overflows VMEM — see kernel doc).
         ff = scan_lookup(lambda g, c, d, r: disparity_lookup_pallas_fused(
             g, c, d, r, interpret=interp))

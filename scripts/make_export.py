@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--iters", type=int, default=22)
     ap.add_argument("--vit_size", default="vits")
     ap.add_argument("--max_disp", type=int, default=192)
+    ap.add_argument("--dynamic_batch", type=int, default=0,
+                    help="1 = symbolic batch dim (reference make_onnx.py:60 "
+                         "dynamic_axes analog). Requires the XLA kernel path "
+                         "(Pallas grids are shape-specialized).")
     args = ap.parse_args()
 
     import jax
@@ -57,8 +61,14 @@ def main():
         variables = restored
         print(f"loaded checkpoint step {step}")
 
+    if args.dynamic_batch:
+        # Pallas pallas_call grids are specialized to concrete (B*H,) sizes;
+        # a symbolic batch must take the pure-XLA path.
+        cfg = cfg.replace(use_pallas=False)
+        model = FoundationStereo(cfg)
     manifest = export_stablehlo(model, variables, args.height, args.width,
-                                args.iters, args.save_path)
+                                args.iters, args.save_path,
+                                dynamic_batch=bool(args.dynamic_batch))
     print(json.dumps(manifest, indent=2))
 
 
