@@ -83,6 +83,10 @@ class ModelConfig:
     # compile under the round-5 chipless AOT compiler (30.4 GB plan from
     # iters-minormost tile layouts). Off = folded, for measurement.
     scan_upsample: bool = True
+    # Iterations folded per scan step of the upsample head (only with
+    # scan_upsample). Head temp memory scales with the chunk; scan+remat
+    # overhead scales with iters/chunk. Snapped down to a divisor of iters.
+    scan_upsample_chunk: int = 2
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":

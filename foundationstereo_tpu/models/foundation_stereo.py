@@ -379,24 +379,36 @@ class FoundationStereo(nn.Module):
             return self._upsample_head(disp, mask_feat, stem_2x, train, dt)
         disp_stack, mask_stack = ys  # (iters, B, h4, w4), (iters, B, h4, w4, 32)
         if cfg.scan_upsample:
-            # Train mode, scanned: one head application per iteration under
-            # remat. The folded (iters*B) formulation below compiles to a
-            # single big program, but under the round-5 chipless AOT compiler
-            # its backward materializes the whole (iters*B, 4, 9, H/2, W/2)
+            # Train mode, scanned: the spx head applied to CHUNKS of
+            # `scan_upsample_chunk` iterations under nn.scan + nn.remat. The
+            # fully folded (iters*B) formulation below compiles to a single
+            # big program, but under the round-5 chipless AOT compiler its
+            # backward materializes the whole (iters*B, 4, 9, H/2, W/2)
             # softmax/deconv temp family with iters-minormost tile layouts
             # (5.8-139x padding -> 30.4 GB plan -> compile OOM). Scanning
-            # bounds the live set to ONE iteration's head; remat keeps the
-            # backward residuals to the (tiny) per-step inputs.
-            def up_step(mdl, stem, x):
-                d_i, m_i = x
-                return stem, mdl._upsample_head(d_i, m_i, stem, train, dt)
+            # bounds the live set to one CHUNK's head (memory ~ chunk;
+            # scan/remat overhead ~ iters/chunk); remat keeps the backward
+            # residuals to the per-step inputs.
+            c = max(1, min(cfg.scan_upsample_chunk, iters))
+            while iters % c:
+                c -= 1
+            n_steps = iters // c
+
+            def up_step(mdl, stem_c, x):
+                d_i, m_i = x  # (c*B, h4, w4), (c*B, h4, w4, 32)
+                return stem_c, mdl._upsample_head(d_i, m_i, stem_c, train, dt)
 
             up_loop = nn.scan(
                 nn.remat(up_step, static_argnums=()),
                 variable_broadcast="params",
                 split_rngs={"params": False, "dropout": False},
                 in_axes=0, out_axes=0)
-            _, up = up_loop(self, stem_2x, (disp_stack, mask_stack))
+            stem_c = jnp.tile(stem_2x, (c, 1, 1, 1))
+            _, up = up_loop(
+                self, stem_c,
+                (disp_stack.reshape(n_steps, c * B4, h4, w4),
+                 mask_stack.reshape(n_steps, c * B4, h4, w4, 32)))
+            up = up.reshape(iters, B4, H, W)
         else:
             # Folded: the iteration axis joins the batch so the upsample
             # heads run once over (iters*B, ...) — kept for measurement

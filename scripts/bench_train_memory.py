@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--remat_filter", type=int, default=1)
     ap.add_argument("--remat_refine", type=int, default=1)
     ap.add_argument("--scan_upsample", type=int, default=1)
+    ap.add_argument("--scan_upsample_chunk", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -60,6 +61,7 @@ def main():
             "remat_filter": bool(args.remat_filter),
             "remat_refine": bool(args.remat_refine),
             "scan_upsample": bool(args.scan_upsample),
+            "scan_upsample_chunk": args.scan_upsample_chunk,
         },
         "loss": {
             "stereo": {"main": stereo_loss},

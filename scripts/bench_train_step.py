@@ -53,7 +53,9 @@ def main():
                          "22x full-res upsample/loss stack backward)")
     ap.add_argument("--scan_upsample", type=int, default=1,
                     help="0 = folded (iters*B) upsample head instead of the "
-                         "per-iteration scan (r5 default)")
+                         "chunked scan (r5 default)")
+    ap.add_argument("--scan_upsample_chunk", type=int, default=2,
+                    help="iterations folded per upsample-scan step")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +77,7 @@ def main():
             "remat_filter": bool(args.remat_filter),
             "remat_refine": bool(args.remat_refine),
             "scan_upsample": bool(args.scan_upsample),
+            "scan_upsample_chunk": args.scan_upsample_chunk,
             # bn_frozen runs the fwd-under-grad with train=False; pin the
             # XLA kernels so _pallas_mode doesn't flip to the inference-only
             # (non-differentiable) Pallas lookup and skew the comparison.
