@@ -66,11 +66,13 @@ def test_scan_upsample_matches_folded(tiny_setup):
     # Same param tree: both paths create spx_2_gru/spx_gru at the same paths.
     v2 = folded.init(jax.random.PRNGKey(0), left, right, iters=1, test_mode=True)
     assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(variables)
-    i2, p2 = folded.apply(variables, left, right, iters=2, test_mode=False)
-    for chunk in (1, 2):  # per-iteration scan AND chunk-folded scan step
+    # iters=4 with chunk 2 exercises the MULTI-step chunked scan
+    # (n_steps=2) — the production shape (iters=22, c=2) is n_steps=11.
+    i2, p2 = folded.apply(variables, left, right, iters=4, test_mode=False)
+    for chunk in (1, 2):  # per-iteration scan AND chunk-folded scan steps
         scanned = FoundationStereo(cfg.replace(scan_upsample=True,
                                                scan_upsample_chunk=chunk))
-        i1, p1 = scanned.apply(variables, left, right, iters=2, test_mode=False)
+        i1, p1 = scanned.apply(variables, left, right, iters=4, test_mode=False)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         for a, b in zip(p1, p2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
