@@ -86,7 +86,10 @@ class ModelConfig:
     # Iterations folded per scan step of the upsample head (only with
     # scan_upsample). Head temp memory scales with the chunk; scan+remat
     # overhead scales with iters/chunk. Snapped down to a divisor of iters.
-    scan_upsample_chunk: int = 2
+    # Measured on-chip (driver16 knockouts, bs1 22 iters): c=1 0.956 s,
+    # c=2 0.971 s, c=11 1.007 s — the per-iteration scan wins under the
+    # r5 compiler (bigger chunks inflate the padded temps in flight), so 1.
+    scan_upsample_chunk: int = 1
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ModelConfig":

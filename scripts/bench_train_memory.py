@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--remat_filter", type=int, default=1)
     ap.add_argument("--remat_refine", type=int, default=1)
     ap.add_argument("--scan_upsample", type=int, default=1)
-    ap.add_argument("--scan_upsample_chunk", type=int, default=2)
+    ap.add_argument("--scan_upsample_chunk", type=int, default=1)
     args = ap.parse_args()
 
     import jax

@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--scan_upsample", type=int, default=1,
                     help="0 = folded (iters*B) upsample head instead of the "
                          "chunked scan (r5 default)")
-    ap.add_argument("--scan_upsample_chunk", type=int, default=2,
+    ap.add_argument("--scan_upsample_chunk", type=int, default=1,
                     help="iterations folded per upsample-scan step")
     args = ap.parse_args()
 
